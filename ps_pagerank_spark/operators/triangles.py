@@ -1,0 +1,101 @@
+"""Per-vertex triangle counting with degree-ordered orientation.
+
+Absent from the reference; mandated by the north_star. Exact counts on the
+undirected simple graph (direction, self-loops, duplicates dropped).
+
+Algorithm (the classic O(m^{3/2}) compact-forward scheme expressed as two
+equi-joins):
+  1. orient every undirected edge from the "smaller" endpoint to the
+     "larger" under the total order (degree, vertex_id) — bounding oriented
+     out-degree by O(√m), which is what makes the wedge join survive
+     power-law skew (a web-scale hub has huge degree but tiny oriented
+     out-degree);
+  2. wedges: self-join oriented edges on the pivot u: (u→v, u→w), v ≺ w;
+  3. close: semi-join wedges against oriented edges (v→w) → one row per
+     triangle (u ≺ v ≺ w);
+  4. per-vertex counts: explode the three corners, hash-count, left-join
+     back to the vertex universe with 0 fill.
+
+All joins are equi-joins Catalyst can plan (sort-merge / shuffled-hash /
+broadcast by stats + AQE); the only wide row is the 3-corner explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ps_pagerank_spark.operators.graph import vertices_from_edges
+
+
+def triangle_counts(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """edges(src_id, dst_id) → (vertex_id long, triangles long)."""
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = (vertices if vertices is not None else vertices_from_edges(edges)).select(
+        "vertex_id"
+    )
+    und = (
+        edges.select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .union(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("x").alias("b"), F.col("deg").alias("deg_b"))
+    # orient by (degree, id): lower-order endpoint → higher-order endpoint
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.struct("deg_b", "b")).otherwise(
+                F.struct(F.col("deg_a").alias("deg_b"), F.col("a").alias("b"))
+            ).alias("_vord"),
+        )
+        .select("u", "v", "_vord")
+        .repartition(P, "u")
+        .persist()
+    )
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("_vord").alias("o1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("_vord").alias("o2"))
+    # wedge (v1 ≺ v2 under the same total order used to orient)
+    wedges = e1.join(e2, "u").filter(
+        (F.col("o1.deg_b") < F.col("o2.deg_b"))
+        | ((F.col("o1.deg_b") == F.col("o2.deg_b")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    counts = (
+        tris.select(
+            F.explode(F.array("u", "v1", "v2")).alias("vertex_id")
+        )
+        .groupBy("vertex_id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = verts.join(counts, "vertex_id", "left").select(
+        "vertex_id",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+    )
+    out = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return out

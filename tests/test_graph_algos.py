@@ -1,0 +1,83 @@
+"""CC / label propagation / triangles vs serial oracles, on golden graphs
+and a seeded random digraph (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ps_pagerank_spark.operators.components import connected_components
+from ps_pagerank_spark.operators.labelprop import label_propagation
+from ps_pagerank_spark.operators.triangles import triangle_counts
+from ps_pagerank_spark.sources.edgelist import edges_from_pairs
+from tests.conftest import BIG_EDGES, BIG_N, SMALL_EDGES, SMALL_N
+from tests.oracle import components_ref, label_propagation_ref, triangles_ref
+
+
+def random_graph(n=120, m=700, seed=42):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, size=m)
+    dst = rng.integers(0, n, size=m)
+    keep = src != dst
+    # leave ids [n, n+5] isolated to exercise isolated-vertex handling
+    return [(int(s), int(d)) for s, d in zip(src[keep], dst[keep])], n + 6
+
+
+@pytest.mark.parametrize(
+    "edges,n",
+    [(SMALL_EDGES, SMALL_N), (BIG_EDGES, BIG_N), random_graph()],
+    ids=["small", "big", "random"],
+)
+def test_connected_components(spark, edges, n):
+    df = edges_from_pairs(spark, edges)
+    # explicit universe: includes isolated ids beyond the edge id range
+    verts = spark.range(n).selectExpr("id AS vertex_id")
+    res = connected_components(spark, df, vertices=verts, num_partitions=4)
+    got = {r["vertex_id"]: r["component"] for r in res.components.collect()}
+    want = components_ref(edges, list(range(n)))
+    assert got == want
+
+
+@pytest.mark.parametrize("iterations", [1, 3])
+def test_label_propagation(spark, iterations):
+    edges, n = random_graph(n=60, m=240, seed=7)
+    df = edges_from_pairs(spark, edges)
+    verts = spark.range(n).selectExpr("id AS vertex_id")
+    got_df = label_propagation(
+        spark, df, vertices=verts, iterations=iterations, num_partitions=4
+    )
+    got = {r["vertex_id"]: r["label"] for r in got_df.collect()}
+    want = label_propagation_ref(edges, list(range(n)), iterations)
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "edges,n",
+    [(SMALL_EDGES, SMALL_N), (BIG_EDGES, BIG_N), random_graph()],
+    ids=["small", "big", "random"],
+)
+def test_triangles(spark, edges, n):
+    df = edges_from_pairs(spark, edges)
+    verts = spark.range(n).selectExpr("id AS vertex_id")
+    got_df = triangle_counts(spark, df, vertices=verts, num_partitions=4)
+    got = {r["vertex_id"]: r["triangles"] for r in got_df.collect()}
+    want = triangles_ref(edges, list(range(n)))
+    assert got == want
+
+
+def test_triangles_direction_invariant(spark):
+    """Triangle counts must not change when edge directions flip
+    (FIXTURES.md §4 invariant)."""
+    edges, n = random_graph(n=50, m=300, seed=11)
+    fwd = edges_from_pairs(spark, edges)
+    rev = edges_from_pairs(spark, [(d, s) for s, d in edges])
+    verts = vertices_id_range(spark, fwd)
+    a = {
+        r["vertex_id"]: r["triangles"]
+        for r in triangle_counts(spark, fwd, vertices=verts, num_partitions=4).collect()
+    }
+    b = {
+        r["vertex_id"]: r["triangles"]
+        for r in triangle_counts(spark, rev, vertices=verts, num_partitions=4).collect()
+    }
+    assert a == b

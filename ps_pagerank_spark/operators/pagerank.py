@@ -315,7 +315,7 @@ def resume_pagerank(
     the state is the exact per-iteration vector (tests/test_resume.py)."""
     snap = catalog.latest_snapshot(checkpoint_table)
     if snap is None:
-        return pagerank(spark, edges, catalog_start=None, **kwargs)  # type: ignore[call-arg]
+        return pagerank(spark, edges, **kwargs)
     start_iter = snap["props"]["iter"]
     prev_metrics = snap["props"].get("metrics", [])
     state = catalog.read(spark, checkpoint_table).select(

@@ -1,0 +1,122 @@
+"""Iceberg-style table catalog over partitioned Parquet + JSON manifests.
+
+The sandbox has no Iceberg runtime jar (SURVEY.md §7.0), so this module
+provides the Iceberg semantics the engine needs — versioned snapshots,
+append/overwrite, time-travel reads, snapshot properties — as a thin layer:
+
+    root/
+      <table>/
+        _meta.json              # {"snapshots": [...], "current": id}
+        snap-000001/*.parquet   # data files written by snapshot 1
+        snap-000002/*.parquet
+
+Each snapshot manifest records the list of data directories visible at that
+version (append = previous dirs + new dir; overwrite = new dir only) and a
+JSON ``props`` payload (e.g. PageRank iteration number + per-iteration
+metrics) — that payload is what makes runs resumable. On a real cluster the
+same call sites switch to ``df.writeTo(...)`` against an Iceberg catalog
+(``use_iceberg=True``), keeping engine code identical.
+
+Snapshot ids are a deterministic counter (no wall clock): repeated runs of
+the test suite produce byte-identical metadata apart from parquet
+internals.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, root: str, use_iceberg: bool = False):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        if use_iceberg:
+            raise NotImplementedError(
+                "Iceberg runtime jar not available in this sandbox; "
+                "parquet+manifest mode provides the same semantics"
+            )
+
+    # -- metadata ----------------------------------------------------------
+    def _meta_path(self, table: str) -> Path:
+        return self.root / table / "_meta.json"
+
+    def _load_meta(self, table: str) -> dict:
+        p = self._meta_path(table)
+        if not p.exists():
+            return {"snapshots": [], "current": None}
+        return json.loads(p.read_text())
+
+    def _store_meta(self, table: str, meta: dict) -> None:
+        p = self._meta_path(table)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(meta, indent=1))
+        os.replace(tmp, p)  # atomic pointer swap = Iceberg commit
+
+    # -- write -------------------------------------------------------------
+    def _write_snapshot(
+        self, table: str, df: DataFrame, mode: str, props: dict | None
+    ) -> int:
+        meta = self._load_meta(table)
+        snap_id = (meta["snapshots"][-1]["id"] + 1) if meta["snapshots"] else 1
+        data_dir = self.root / table / f"snap-{snap_id:06d}"
+        df.write.mode("overwrite").parquet(str(data_dir))
+        prev_dirs = []
+        if mode == "append" and meta["current"] is not None:
+            prev_dirs = self._snapshot(meta, meta["current"])["data_dirs"]
+        meta["snapshots"].append(
+            {
+                "id": snap_id,
+                "data_dirs": prev_dirs + [data_dir.name],
+                "props": props or {},
+            }
+        )
+        meta["current"] = snap_id
+        self._store_meta(table, meta)
+        return snap_id
+
+    def overwrite(self, table: str, df: DataFrame, props: dict | None = None) -> int:
+        return self._write_snapshot(table, df, "overwrite", props)
+
+    def append(self, table: str, df: DataFrame, props: dict | None = None) -> int:
+        return self._write_snapshot(table, df, "append", props)
+
+    # -- read --------------------------------------------------------------
+    @staticmethod
+    def _snapshot(meta: dict, snap_id: int) -> dict:
+        for s in meta["snapshots"]:
+            if s["id"] == snap_id:
+                return s
+        raise KeyError(f"snapshot {snap_id} not found")
+
+    def read(
+        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read a table at a snapshot (time travel) or its current version."""
+        meta = self._load_meta(table)
+        sid = snapshot_id if snapshot_id is not None else meta["current"]
+        if sid is None:
+            raise KeyError(f"table {table!r} has no snapshots")
+        dirs = [
+            str(self.root / table / d) for d in self._snapshot(meta, sid)["data_dirs"]
+        ]
+        return spark.read.parquet(*dirs)
+
+    def latest_snapshot(self, table: str) -> dict | None:
+        meta = self._load_meta(table)
+        if meta["current"] is None:
+            return None
+        return self._snapshot(meta, meta["current"])
+
+    def snapshots(self, table: str) -> list[dict]:
+        return self._load_meta(table)["snapshots"]
+
+    def tables(self) -> list[str]:
+        return sorted(
+            p.parent.name for p in self.root.glob("*/_meta.json")
+        )

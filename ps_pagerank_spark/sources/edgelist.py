@@ -54,20 +54,47 @@ def edges_from_pairs(spark: SparkSession, pairs) -> DataFrame:
 
 
 def tpch_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic digraph over the sandbox testdata: deduplicated
-    part→supplier edges from lineitem. Suppliers are hub destinations with
-    no out-edges (all dangling) — a good skew + dangling-mass exercise.
-    Oracle SQL: SELECT DISTINCT l_partkey AS src_id, l_suppkey AS dst_id
-    FROM lineitem."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    """Deterministic digraph over the sandbox testdata:
+      * part → supplier edges (suppliers become dangling high-in-degree
+        hubs: skew + dangling-mass exercise), plus
+      * part → part edges between lineitems of the same order (linenumber
+        ascending), which create per-order cliques → triangles.
+    Deduplicated, self-loops dropped. Mirrors ``TPCH_GRAPH_SQL`` exactly.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("src_id"), F.col("l_suppkey").alias("dst_id")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_partkey").alias("src_id"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_partkey").alias("dst_id"),
+    )
+    pp = (
+        a.join(b, "ok")
+        .filter(F.col("ln_a") < F.col("ln_b"))
+        .select("src_id", "dst_id")
+    )
     return (
-        li.select(
-            F.col("l_partkey").alias("src_id"), F.col("l_suppkey").alias("dst_id")
-        )
+        ps.unionByName(pp)
+        .filter(F.col("src_id") != F.col("dst_id"))
         .dropDuplicates(["src_id", "dst_id"])
     )
 
 
-TPCH_GRAPH_SQL = (
-    "SELECT DISTINCT l_partkey AS src_id, l_suppkey AS dst_id FROM lineitem"
-)
+TPCH_GRAPH_SQL = """
+    SELECT DISTINCT src_id, dst_id FROM (
+        SELECT l_partkey AS src_id, l_suppkey AS dst_id FROM lineitem
+        UNION ALL
+        SELECT a.l_partkey AS src_id, b.l_partkey AS dst_id
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    ) WHERE src_id <> dst_id
+"""

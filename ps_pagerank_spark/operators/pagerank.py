@@ -71,9 +71,14 @@ def _prepare(
     edges: DataFrame,
     vertices: DataFrame | None,
     num_partitions: int,
+    edge_part_key: str = "src_id",
 ):
     """Iteration-invariant state: vertex universe, N, weighted edges
-    partitioned by src, dangling flags."""
+    partitioned by `edge_part_key`, dangling flags.
+
+    Partition key choice: "src_id" co-locates the shuffle gather join;
+    "dst_id" makes the scatter groupBy exchange-free (used with the
+    broadcast gather, where the join itself needs no co-location)."""
     verts = vertices if vertices is not None else vertices_from_edges(edges)
     verts = verts.select("vertex_id").repartition(num_partitions, "vertex_id")
     verts.persist()
@@ -81,7 +86,7 @@ def _prepare(
     outdeg = out_degrees(edges)
     wedges = (
         weighted_edges(edges)
-        .repartition(num_partitions, "src_id")
+        .repartition(num_partitions, edge_part_key)
         .persist()
     )
     wedges.count()  # materialize once; every iteration reuses these blocks
@@ -131,8 +136,10 @@ def pagerank(
     fixed_iterations: int | None = None,
     dangling_mode: str = "none",
     kernel: str = "join",
+    gather: str = "auto",
     num_partitions: int | None = None,
     hub_threshold: int | None = None,
+    broadcast_max_vertices: int = 1_000_000,
     checkpoint: "object | None" = None,  # plans.catalog.Catalog
     checkpoint_every: int = 0,
     checkpoint_table: str = "pagerank_ranks",
@@ -141,13 +148,42 @@ def pagerank(
 
     Returns converged ranks plus per-iteration metrics. See module
     docstring for semantics and physical design.
+
+    gather ("join" kernel only):
+      * "shuffle"   — co-partitioned equi-join on src_id; the plan that
+        holds at any vertex count (production default beyond
+        broadcast_max_vertices).
+      * "broadcast" — the rank vector is broadcast every iteration and
+        edges stay persisted partitioned by dst_id, so BOTH the gather
+        join and the scatter groupBy(dst) run without a shuffle of the
+        edge table — one map-side stage per iteration. The per-iteration
+        broadcast build is serial (~16 B/vertex), which caps strong
+        scaling — hence the conservative default threshold. This is the
+        reference's memory model (dense prevR[] visible to every thread,
+        openmp/pagerank.c:285-301) lifted to Spark.
+      * "auto"      — broadcast iff N ≤ broadcast_max_vertices.
     """
     if dangling_mode not in ("none", "redistribute"):
         raise ValueError(f"unknown dangling_mode {dangling_mode!r}")
     if kernel not in ("join", "csr_block"):
         raise ValueError(f"unknown kernel {kernel!r}")
+    if gather not in ("auto", "shuffle", "broadcast"):
+        raise ValueError(f"unknown gather {gather!r}")
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    verts, n, outdeg, wedges, state = _prepare(spark, edges, vertices, P)
+    # peek at vertex count cheaply to choose the edge partition key
+    verts_probe = vertices if vertices is not None else vertices_from_edges(edges)
+    n_probe = verts_probe.count() if gather == "auto" else 0
+    use_bcast = kernel == "join" and (
+        gather == "broadcast"
+        or (gather == "auto" and n_probe <= broadcast_max_vertices)
+    )
+    verts, n, outdeg, wedges, state = _prepare(
+        spark,
+        edges,
+        verts_probe if vertices is None else vertices,
+        P,
+        edge_part_key="dst_id" if use_bcast else "src_id",
+    )
 
     hub_part = None
     if hub_threshold is not None and kernel == "join":
@@ -181,7 +217,9 @@ def pagerank(
         base = (1.0 - d) / n + (d * dang_mass / n)
 
         if kernel == "join":
-            contribs = _gather_scatter_join(state, wedges, hub_part)
+            contribs = _gather_scatter_join(
+                state, wedges, hub_part, broadcast_ranks=use_bcast
+            )
         else:
             contribs = _gather_scatter_csr(spark, state, csr_blocks, csr_size)
 
@@ -241,10 +279,25 @@ def pagerank(
     return PageRankResult(ranks=ranks, iterations=it, converged=converged, metrics=metrics)
 
 
-def _gather_scatter_join(state: DataFrame, wedges: DataFrame, hub_part) -> DataFrame:
+def _gather_scatter_join(
+    state: DataFrame,
+    wedges: DataFrame,
+    hub_part,
+    broadcast_ranks: bool = False,
+) -> DataFrame:
     """J1-J6 analog: gather = equi-join on src, scatter = hash agg on dst.
-    Returns (vertex_id, _c) where _c = Σ w·rank over in-edges."""
+    Returns (vertex_id, _c) where _c = Σ w·rank over in-edges.
+
+    broadcast_ranks=True: BroadcastHashJoin probe over dst-partitioned
+    persisted edges + exchange-free partial agg — no edge bytes move."""
     ranks = state.select(F.col("vertex_id").alias("src_id"), "rank")
+    if broadcast_ranks:
+        ranks = F.broadcast(ranks)
+    else:
+        # shuffled-hash, not sort-merge: both sides are already hash
+        # co-partitioned (wedges persisted on src_id, state on vertex_id,
+        # same P), so SHJ probes without re-sorting 10^? edges/iteration
+        ranks = ranks.hint("shuffle_hash")
     joined = wedges.join(ranks, "src_id")
     if hub_part is not None:
         w_hub, hubs = hub_part
@@ -391,6 +444,142 @@ def _continue(
     wedges.unpersist()
     verts.unpersist()
     return PageRankResult(ranks=ranks, iterations=it, converged=converged, metrics=metrics)
+
+
+def pagerank_block(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    d: float = D_DEFAULT,
+    eps: float = EPS_DEFAULT,
+    max_iter: int = 1000,
+    fixed_iterations: int | None = None,
+    dangling_mode: str = "redistribute",
+    num_partitions: int | None = None,
+) -> PageRankResult:
+    """Block-row PageRank with a driver-held rank vector — the Spark analog
+    of the reference's host-driven GPU loop (opencl/pagerank.c:456-531):
+    the dense rank vector lives on the driver (host), each iteration
+    broadcasts it (H2D upload), every partition computes its CSR-block
+    partial y = A_block · x with vectorized NumPy (one partition ≈ one
+    workgroup, kernel_csr.cl:18-33), and the partials come back in one
+    Arrow collect (D2H of per-workgroup results). Damping, dangling mass,
+    and the convergence norm are O(V) NumPy on the driver — exactly the
+    host-side final reduction of opencl/pagerank.c:517-527.
+
+    Physical properties (why this wins the mid-scale regime):
+      * edges are range-partitioned by dst and sorted once, then NEVER
+        move — zero shuffle bytes per iteration;
+      * each dst row lives in exactly one partition, so per-partition
+        partials are already final sums — collect size is ≤ V rows total;
+      * the only serial costs are one ~8·V-byte broadcast and one ≤16·V-byte
+        collect per iteration.
+    Valid while the rank vector fits driver memory (~8 GB per 10^9
+    vertices); beyond that use pagerank(kernel="join", gather="shuffle"),
+    which holds at any V. Ids must be bounded (dense dictionary ids make
+    the arrays tight; sparse ids waste array slots up to max_id).
+    """
+    if dangling_mode not in ("none", "redistribute"):
+        raise ValueError(f"unknown dangling_mode {dangling_mode!r}")
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wedges = weighted_edges(edges)
+    blocks = (
+        wedges.repartitionByRange(P, "dst_id")
+        .sortWithinPartitions("dst_id")
+        .persist()
+    )
+    blocks.count()
+
+    # driver-side vertex universe / degree arrays (one pass)
+    vstats = (
+        vertices_from_edges(edges)
+        .join(
+            out_degrees(edges).select(
+                F.col("src_id").alias("vertex_id"), "deg"
+            ),
+            "vertex_id",
+            "left",
+        )
+        .select("vertex_id", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .toPandas()
+    )
+    vids = vstats["vertex_id"].to_numpy()
+    size = int(vids.max()) + 1 if len(vids) else 0
+    n = len(vids)
+    exists = np.zeros(size, dtype=bool)
+    exists[vids] = True
+    dangling = np.zeros(size, dtype=bool)
+    dangling[vids[vstats["deg"].to_numpy() == 0]] = True
+
+    prev = np.zeros(size, dtype=np.float64)
+    prev[vids] = 1.0 / n
+
+    sc = spark.sparkContext
+    metrics: list[dict] = []
+    it = 0
+    converged = False
+    target = fixed_iterations if fixed_iterations is not None else max_iter
+    while it < target:
+        it += 1
+        t0 = time.perf_counter()
+        bc = sc.broadcast(prev)
+
+        def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            pv = bc.value
+            for batch in batches:
+                dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+                src = batch.column("src_id").to_numpy(zero_copy_only=False)
+                w = batch.column("w").to_numpy(zero_copy_only=False)
+                if len(dst) == 0:
+                    continue
+                vals = w * pv[src]
+                bounds = np.flatnonzero(np.diff(dst)) + 1
+                starts = np.concatenate(([0], bounds))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(dst[starts], type=pa.int64()),
+                        pa.array(np.add.reduceat(vals, starts), type=pa.float64()),
+                    ],
+                    names=["vertex_id", "_p"],
+                )
+
+        partials = blocks.mapInArrow(
+            gen, schema="vertex_id long, _p double"
+        ).toPandas()
+        contrib = np.zeros(size, dtype=np.float64)
+        # batches within a partition can split a dst run → add, not assign
+        np.add.at(
+            contrib,
+            partials["vertex_id"].to_numpy(),
+            partials["_p"].to_numpy(),
+        )
+        dm = float(prev[dangling].sum()) if dangling_mode == "redistribute" else 0.0
+        base = (1.0 - d) / n + d * dm / n
+        curr = np.where(exists, base + d * contrib, 0.0)
+        delta = float(np.sqrt(((curr - prev) ** 2).sum()))
+        prev = curr
+        bc.destroy()
+        metrics.append(
+            {
+                "iter": it,
+                "l2_delta": delta,
+                "rank_sum": float(curr.sum()),
+                "dangling_mass": float(curr[dangling].sum()),
+                "elapsed_s": time.perf_counter() - t0,
+            }
+        )
+        if fixed_iterations is None and delta <= eps:
+            converged = True
+            break
+    if fixed_iterations is not None:
+        converged = True
+
+    ranks_pdf = pd.DataFrame({"vertex_id": vids, "rank": prev[vids]})
+    ranks = spark.createDataFrame(ranks_pdf)
+    blocks.unpersist()
+    return PageRankResult(
+        ranks=ranks, iterations=it, converged=converged, metrics=metrics
+    )
 
 
 def top_k_ranks(ranks: DataFrame, k: int = 100) -> DataFrame:

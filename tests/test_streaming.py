@@ -1,0 +1,112 @@
+"""Structured Streaming ingest: incremental page arrival → link extraction
+→ dictionary growth → catalog edge appends; windowed watermarked stats.
+
+Uses the file source with trigger(availableNow) so micro-batches are
+deterministic and the test is hermetic.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ps_pagerank_spark.plans.catalog import Catalog
+from ps_pagerank_spark.sources.pages import pages_df_from_edges
+from ps_pagerank_spark.streaming.ingest import (
+    PAGES_SCHEMA,
+    page_stats_stream,
+    run_edge_ingest,
+    stream_pages,
+)
+
+
+def _write_pages(spark, edges, out_dir, *, only_vertices=None):
+    """Write a pages parquet file (one WARC-segment stand-in) derived from
+    an edge list via the shared synthetic page builder. `only_vertices`
+    restricts which page rows are emitted (so later segments contain only
+    the newly crawled pages)."""
+    n = max(v for e in edges for v in e) + 1
+    pages = pages_df_from_edges(spark, n, edges)
+    if only_vertices is not None:
+        from ps_pagerank_spark.sources.pages import url_of
+
+        keep = [url_of(v) for v in only_vertices]
+        pages = pages.filter(F.col("url").isin(keep))
+    pages.coalesce(1).write.mode("append").parquet(out_dir)
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    return {
+        "landing": str(tmp_path / "landing"),
+        "catalog": str(tmp_path / "catalog"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def test_incremental_edge_ingest(spark, dirs):
+    cat = Catalog(dirs["catalog"])
+    seg1 = [(0, 1), (1, 2), (2, 0)]
+    _write_pages(spark, seg1, dirs["landing"])
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"])
+    e1 = cat.read(spark, "edges")
+    v1 = cat.read(spark, "vertices")
+    assert e1.count() == 3
+    n_v1 = v1.count()
+    assert n_v1 == 3
+    v1_map = {r["url"]: r["vertex_id"] for r in v1.collect()}
+
+    # second segment arrives: only the newly crawled pages 3 and 4,
+    # linking one old url (0) and one new (4)
+    seg2 = [(3, 0), (3, 4)]
+    _write_pages(spark, seg2, dirs["landing"], only_vertices=[3, 4])
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"])
+    e2 = cat.read(spark, "edges")
+    v2 = cat.read(spark, "vertices")
+    assert e2.count() == 5
+    assert v2.count() == 5
+    # existing assignments immutable; new ids extend past old max
+    v2_map = {r["url"]: r["vertex_id"] for r in v2.collect()}
+    for url, vid in v1_map.items():
+        assert v2_map[url] == vid
+    assert min(v2_map[u] for u in set(v2_map) - set(v1_map)) == max(v1_map.values()) + 1
+
+    # edge ids resolve through the dictionary (referential integrity)
+    ids = {r["vertex_id"] for r in v2.collect()}
+    for r in e2.collect():
+        assert r["src_id"] in ids and r["dst_id"] in ids
+
+    # re-running with no new files appends nothing
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"])
+    assert cat.read(spark, "edges").count() == 5
+
+
+def test_page_stats_stream_windows(spark, dirs):
+    rows = [
+        ("u1", dt.datetime(2026, 1, 1, 0, 1), None, None, "en"),
+        ("u2", dt.datetime(2026, 1, 1, 0, 4), None, None, "en"),
+        ("u3", dt.datetime(2026, 1, 1, 0, 11), None, None, "de"),
+    ]
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.parquet(
+        dirs["landing"]
+    )
+    stats = page_stats_stream(
+        stream_pages(spark, dirs["landing"]), window="10 minutes"
+    )
+    out = str(dirs["catalog"]) + "/stats"
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("page_stats")
+        .outputMode("complete")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"].minute, r["lang"]): r["n_pages"]
+        for r in spark.sql("SELECT * FROM page_stats").collect()
+    }
+    assert got == {(0, "en"): 2, (10, "de"): 1}

@@ -418,6 +418,28 @@ def _q_ann_topk(spark, sf_dir):
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=6)
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_events_windowed(spark, sf_dir):
+    from ps_pagerank_spark.operators.analytics import windowed_stats
+
+    return windowed_stats(_events(spark, sf_dir), window="1 hour")
+
+
+def _q_events_sessions(spark, sf_dir):
+    from ps_pagerank_spark.operators.analytics import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+def _q_events_props(spark, sf_dir):
+    from ps_pagerank_spark.operators.analytics import extract_props
+
+    return extract_props(_events(spark, sf_dir))
+
+
 def _q_media_features(spark, sf_dir):
     from ps_pagerank_spark.functions.multimodal import (
         extract_media_features,
@@ -473,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk10": _q_cosine_topk,
         "ann_lsh_topk10": _q_ann_topk,
         "media_features": _q_media_features,
+        "events_windowed_stats": _q_events_windowed,
+        "events_sessionize": _q_events_sessions,
+        "events_json_props": _q_events_props,
     }
 
 
@@ -596,4 +621,19 @@ def _pipeline_oracles() -> dict[str, str]:
         "ann_lsh_topk10": "WITH "
         + ann_lsh_topk_sql("embeddings", "vec_id < 5", k=10, n_planes=6, dim=64),
         "media_features": media_features_sql("documents"),
+        **_analytics_oracles(),
+    }
+
+
+def _analytics_oracles() -> dict[str, str]:
+    from ps_pagerank_spark.operators.analytics import (
+        extract_props_sql,
+        sessionize_sql,
+        windowed_stats_sql,
+    )
+
+    return {
+        "events_windowed_stats": windowed_stats_sql("events", hours=1),
+        "events_sessionize": "WITH " + sessionize_sql("events", gap_minutes=30),
+        "events_json_props": extract_props_sql("events"),
     }

@@ -1,0 +1,145 @@
+"""Event-stream analytics: windowed aggregation, sessionization, JSON
+props extraction.
+
+The reference has no window functions, no event semantics (SURVEY.md §2.5
+"absent"); these are the engine-side analytics a crawl/event pipeline needs
+around the graph. Batch and streaming share the code path: `windowed_stats`
+uses `F.window`, which is the same operator Structured Streaming executes
+incrementally behind a watermark (see streaming/ingest.page_stats_stream).
+
+Cross-engine exactness: double sums are order-sensitive, so aggregates are
+computed over **floor-micros integers** (`floor(value*1e6)` per row, then
+integer SUM) — bit-exact in any engine at any parallelism. min/max/count
+are order-free and stay native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ps_pagerank_spark.functions.text import micros
+
+
+def windowed_stats(
+    events: DataFrame, *, window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window stats per event_type:
+    (window_start, event_type, n_events, value_sum_u, value_min_u,
+    value_max_u, n_users)."""
+    return (
+        events.groupBy(
+            F.window("ts", window).alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(micros(F.col("value"))).alias("value_sum_u"),
+            F.min(micros(F.col("value"))).alias("value_min_u"),
+            F.max(micros(F.col("value"))).alias("value_max_u"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum_u",
+            "value_min_u",
+            "value_max_u",
+            "n_users",
+        )
+    )
+
+
+def windowed_stats_sql(events_sql: str, *, hours: int = 1) -> str:
+    """DuckDB twin (time_bucket == Spark tumbling window for epoch-aligned
+    intervals)."""
+    u = "CAST(FLOOR(value * 1000000.0) AS BIGINT)"
+    return f"""
+SELECT time_bucket(INTERVAL {hours} HOUR, ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       SUM({u}) AS value_sum_u,
+       MIN({u}) AS value_min_u,
+       MAX({u}) AS value_max_u,
+       count(DISTINCT user_id) AS n_users
+FROM {events_sql}
+GROUP BY 1, 2"""
+
+
+def sessionize(
+    events: DataFrame, *, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the
+    pause since the previous event exceeds the gap. Returns one row per
+    session: (user_id, session_id, session_start, session_end, n_events).
+
+    Plan: per-user ordered window (lag → new-session flag → running sum) —
+    partitionBy(user_id) keeps every window partition-local; no global
+    sort. The streaming equivalent is session_window()/
+    applyInPandasWithState; batch output is the oracle for both.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    # NTZ timestamps can't cast straight to long in Spark 4; go through
+    # an instant (session TZ is pinned UTC in session defaults, so this
+    # equals DuckDB's floor(epoch(ts)) on the same naive values)
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(epoch_s - F.lag(epoch_s).over(w) > gap_s, 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    with_sid = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def sessionize_sql(events_sql: str, *, gap_minutes: int = 30) -> str:
+    gap_s = gap_minutes * 60
+    return f"""
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > {gap_s}
+              THEN 1 ELSE 0 END AS _new
+  FROM {events_sql}),
+with_sid AS (
+  SELECT user_id, ts,
+         SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       count(*) AS n_events
+FROM with_sid GROUP BY user_id, session_id"""
+
+
+def extract_props(events: DataFrame, key: str = "k") -> DataFrame:
+    """JSON props field extraction (JVM get_json_object — no Python).
+    Returns (event_id, event_type, k bigint)."""
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", f"$.{key}").cast("long").alias(key),
+    )
+
+
+def extract_props_sql(events_sql: str, key: str = "k") -> str:
+    return (
+        f"SELECT event_id, event_type, "
+        f"CAST(json_extract_string(props, '$.{key}') AS BIGINT) AS {key} "
+        f"FROM {events_sql}"
+    )

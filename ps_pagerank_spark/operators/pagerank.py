@@ -234,7 +234,10 @@ def pagerank(
                 ),
                 "_old",
             )
-            .repartition(P, "vertex_id")
+            # no repartition: the update join streams the P-hash-partitioned
+            # state, so its output (and the checkpoint) already carries
+            # hash(vertex_id, P) — an explicit repartition would add a
+            # full exchange of the rank vector every iteration
             .localCheckpoint(eager=True)
         )
         # one fused scalar action: ‖Δ‖², Σrank, next iteration's dangling mass

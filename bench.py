@@ -100,6 +100,25 @@ def main() -> None:
     label_propagation(spark, edges, iterations=3).count()
     queries["label_propagation_3"] = round(time.perf_counter() - t0, 3)
 
+    # training-data pipeline ops over the documents table
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    extra["n_docs"] = docs.count()
+
+    from pyspark.sql import functions as F
+
+    from ps_pagerank_spark.functions.text import text_feature_columns
+
+    t0 = time.perf_counter()
+    feats = text_feature_columns(F.col("text"))
+    docs.select("doc_id", *[v.alias(k) for k, v in feats.items()]).count()
+    queries["text_features"] = round(time.perf_counter() - t0, 3)
+
+    from ps_pagerank_spark.operators.dedup import minhash_lsh_pairs
+
+    t0 = time.perf_counter()
+    extra["minhash_pairs"] = minhash_lsh_pairs(docs, threshold=0.5).count()
+    queries["minhash_lsh_dedup"] = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "pagerank_edges_per_sec_per_iter@1e-6",
         "value": extra["pagerank_join"]["edges_per_sec_per_iter"],

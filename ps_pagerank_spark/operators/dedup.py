@@ -189,21 +189,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long> length k) — min of each permutation hash
     over the doc's shingle hash set. Docs with no shingle content get the
-    empty-string shingle, so signatures are always defined."""
-    base = F.transform(shingles(F.col(text_col), n), hash64)
+    empty-string shingle, so signatures are always defined.
 
-    def perm(a: int, b: int):
-        # closure factory: PySpark infers lambda arity from the signature,
-        # so default-arg captures would mis-count as extra lambda params
-        return lambda h: (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(
-            MINHASH_P
-        )
-
-    cols = [
-        F.array_min(F.transform(base, perm(a, b)))
-        for a, b in minhash_coeffs(k)
+    Physical shape: explode shingles → ONE md5 per (doc, shingle) row →
+    k min-aggregations with map-side partials. (A per-column
+    `array_min(transform(...))` formulation re-evaluates the md5 chain k
+    times after CollapseProject inlining — measured ~k× slower.)"""
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("_s")
+    ).select("doc_id", hash64(F.col("_s")).alias("_h"))
+    hm = F.col("_h") % F.lit(MINHASH_P)
+    aggs = [
+        F.min((F.lit(a) * hm + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_m{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(k))
     ]
-    return docs.select("doc_id", F.array(*cols).alias("sig"))
+    return (
+        sh.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id", F.array(*[f"_m{j}" for j in range(k)]).alias("sig")
+        )
+    )
 
 
 def _minhash_sig_sql(k: int, n: int) -> str:
@@ -231,7 +237,10 @@ def minhash_lsh_pairs(
     signature components. Output (doc_a, doc_b, est_jaccard_u ≥ threshold).
     """
     r = k // bands
-    sigs = minhash_signatures(docs, k=k, n=n, text_col=text_col)
+    # persist: the LSH self-join consumes the signature table twice (side a
+    # and side b) — without this the shingle/md5/agg chain runs twice.
+    # Small (k longs per doc); LRU-evicted when dropped.
+    sigs = minhash_signatures(docs, k=k, n=n, text_col=text_col).persist()
     band_arr = F.array(
         *[
             F.array_join(F.slice(F.col("sig"), b * r + 1, r), "_")

@@ -426,7 +426,7 @@ def _continue(
                 ),
                 "_old",
             )
-            .repartition(P, "vertex_id")
+            # already hash(vertex_id, P) via the streamed state side
             .localCheckpoint(eager=True)
         )
         agg = new_state.agg(

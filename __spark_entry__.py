@@ -425,13 +425,13 @@ def _events(spark, sf_dir):
 def _q_events_windowed(spark, sf_dir):
     from ps_pagerank_spark.operators.analytics import windowed_stats
 
-    return windowed_stats(_events(spark, sf_dir), window="1 hour")
+    return windowed_stats(_events(spark, sf_dir), window="1 hour", micros_ts=True)
 
 
 def _q_events_sessions(spark, sf_dir):
     from ps_pagerank_spark.operators.analytics import sessionize
 
-    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+    return sessionize(_events(spark, sf_dir), gap_minutes=30, micros_ts=True)
 
 
 def _q_events_props(spark, sf_dir):
@@ -633,7 +633,10 @@ def _analytics_oracles() -> dict[str, str]:
     )
 
     return {
-        "events_windowed_stats": windowed_stats_sql("events", hours=1),
-        "events_sessionize": "WITH " + sessionize_sql("events", gap_minutes=30),
+        "events_windowed_stats": windowed_stats_sql(
+            "events", hours=1, micros_ts=True
+        ),
+        "events_sessionize": "WITH "
+        + sessionize_sql("events", gap_minutes=30, micros_ts=True),
         "events_json_props": extract_props_sql("events"),
     }

@@ -22,11 +22,21 @@ from ps_pagerank_spark.functions.text import micros
 
 
 def windowed_stats(
-    events: DataFrame, *, window: str = "1 hour"
+    events: DataFrame, *, window: str = "1 hour", micros_ts: bool = False
 ) -> DataFrame:
     """Tumbling-window stats per event_type:
     (window_start, event_type, n_events, value_sum_u, value_min_u,
-    value_max_u, n_users)."""
+    value_max_u, n_users).
+
+    micros_ts=True emits window_start as epoch-micros BIGINT instead of a
+    timestamp — the cross-engine contract representation (Spark tz-aware/ns
+    vs DuckDB naive/us pandas dtypes hash differently even when the instants
+    are identical; integers are engine-neutral).
+    """
+    start = F.col("win.start")
+    if micros_ts:
+        # session TZ is pinned UTC, so NTZ→instant is the identity mapping
+        start = F.unix_micros(start.cast("timestamp"))
     return (
         events.groupBy(
             F.window("ts", window).alias("win"), "event_type"
@@ -39,7 +49,7 @@ def windowed_stats(
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
-            F.col("win.start").alias("window_start"),
+            start.alias("window_start"),
             "event_type",
             "n_events",
             "value_sum_u",
@@ -50,12 +60,17 @@ def windowed_stats(
     )
 
 
-def windowed_stats_sql(events_sql: str, *, hours: int = 1) -> str:
+def windowed_stats_sql(
+    events_sql: str, *, hours: int = 1, micros_ts: bool = False
+) -> str:
     """DuckDB twin (time_bucket == Spark tumbling window for epoch-aligned
     intervals)."""
     u = "CAST(FLOOR(value * 1000000.0) AS BIGINT)"
+    bucket = f"time_bucket(INTERVAL {hours} HOUR, ts)"
+    if micros_ts:
+        bucket = f"epoch_us({bucket})"
     return f"""
-SELECT time_bucket(INTERVAL {hours} HOUR, ts) AS window_start,
+SELECT {bucket} AS window_start,
        event_type,
        count(*) AS n_events,
        SUM({u}) AS value_sum_u,
@@ -67,7 +82,7 @@ GROUP BY 1, 2"""
 
 
 def sessionize(
-    events: DataFrame, *, gap_minutes: int = 30
+    events: DataFrame, *, gap_minutes: int = 30, micros_ts: bool = False
 ) -> DataFrame:
     """Gap-based sessionization per user: a new session starts when the
     pause since the previous event exceeds the gap. Returns one row per
@@ -99,15 +114,24 @@ def sessionize(
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("session_id"),
     )
+    s_start, s_end = F.min("ts"), F.max("ts")
+    if micros_ts:
+        # contract representation: epoch-micros BIGINT (see windowed_stats)
+        s_start = F.unix_micros(s_start.cast("timestamp"))
+        s_end = F.unix_micros(s_end.cast("timestamp"))
     return with_sid.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        s_start.alias("session_start"),
+        s_end.alias("session_end"),
         F.count("*").alias("n_events"),
     )
 
 
-def sessionize_sql(events_sql: str, *, gap_minutes: int = 30) -> str:
+def sessionize_sql(
+    events_sql: str, *, gap_minutes: int = 30, micros_ts: bool = False
+) -> str:
     gap_s = gap_minutes * 60
+    s_start = "epoch_us(MIN(ts))" if micros_ts else "MIN(ts)"
+    s_end = "epoch_us(MAX(ts))" if micros_ts else "MAX(ts)"
     return f"""
 flagged AS (
   SELECT user_id, ts, event_id,
@@ -122,7 +146,7 @@ with_sid AS (
                          ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged)
 SELECT user_id, session_id,
-       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       {s_start} AS session_start, {s_end} AS session_end,
        count(*) AS n_events
 FROM with_sid GROUP BY user_id, session_id"""
 

@@ -347,13 +347,18 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_sql(docs_sql: str) -> str:
+    # Outer fold MUST stay integer end-to-end: DuckDB list_sum returns
+    # HUGEINT, which pandas renders as float64 and silently corrupts
+    # fingerprints above 2^53. list_reduce over BIGINT terms stays BIGINT
+    # (generate_series(0, 59) is never empty, so no COALESCE needed).
     th = f"list_transform({tokens_sql('text')}, x -> {hash64_sql('x')})"
     return f"""
 SELECT doc_id,
-  COALESCE(list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}),
+  list_reduce(list_transform(generate_series(0, {SIMHASH_BITS - 1}),
     i -> CASE WHEN COALESCE(list_sum(list_transform({th},
              h -> ((h >> i) & 1) * 2 - 1)), 0) > 0
-         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), 0)
+         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END),
+    (a, b) -> a + b)
   AS simhash
 FROM {docs_sql}"""
 

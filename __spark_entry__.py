@@ -401,7 +401,17 @@ def _q_simhash_pairs(spark, sf_dir):
 def _q_emb_neardup(spark, sf_dir):
     from ps_pagerank_spark.operators.similarity import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold_u=300000)
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold_u=300000, method="brute"
+    )
+
+
+def _q_emb_neardup_lsh(spark, sf_dir):
+    from ps_pagerank_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold_u=300000, method="lsh"
+    )
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -492,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _q_simhash,
         "simhash_neardup_pairs": _q_simhash_pairs,
         "embedding_neardup_pairs": _q_emb_neardup,
+        "embedding_neardup_lsh": _q_emb_neardup_lsh,
         "cosine_topk10": _q_cosine_topk,
         "ann_lsh_topk10": _q_ann_topk,
         "media_features": _q_media_features,
@@ -585,6 +596,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from ps_pagerank_spark.operators.similarity import (
         ann_lsh_topk_sql,
         cosine_topk_sql,
+        embedding_neardup_lsh_sql,
         embedding_neardup_pairs_sql,
     )
 
@@ -616,6 +628,8 @@ def _pipeline_oracles() -> dict[str, str]:
         "embedding_neardup_pairs": embedding_neardup_pairs_sql(
             "embeddings", threshold_u=300000, dim=64
         ),
+        "embedding_neardup_lsh": "WITH "
+        + embedding_neardup_lsh_sql("embeddings", threshold_u=300000, dim=64),
         "cosine_topk10": "WITH "
         + cosine_topk_sql("embeddings", "vec_id < 5", k=10, dim=64),
         "ann_lsh_topk10": "WITH "

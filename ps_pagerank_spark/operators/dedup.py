@@ -247,20 +247,26 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # slim band self-join: ids only — carrying the k-long signature arrays
+    # through the banded join would shuffle them once per band per side;
+    # they are re-attached after pair dedup with two thin joins instead
     banded = sigs.select(
-        "doc_id", "sig", F.posexplode(band_arr).alias("band", "key")
+        "doc_id", F.posexplode(band_arr).alias("band", "key")
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "key"
-    )
-    cand = (
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    pair_ids = (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = pair_ids.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+        "doc_b",
     )
     est = cand.select(
         "doc_a",

@@ -51,6 +51,18 @@ def encode_vertices(urls: DataFrame, mode: str = "zip") -> DataFrame:
             (F.row_number().over(w) - 1).cast("long").alias("vertex_id"),
             "url",
         )
+    return zip_index(urls)
+
+
+def zip_index(urls: DataFrame, base_id: int = 0) -> DataFrame:
+    """(url) → (vertex_id = base_id + dense rank by url order, url).
+
+    The scalable dense-id assignment: range-partition + partition-local
+    row_number + exclusive prefix sum of partition sizes (the classic
+    zipWithIndex trick, expressed with DataFrame ops + one tiny driver-side
+    prefix sum over per-partition counts). Deterministic given content;
+    no single-partition global window anywhere.
+    """
     df = urls.repartitionByRange(F.col("url")).sortWithinPartitions("url")
     df = df.select(
         "url", F.spark_partition_id().alias("_pid")
@@ -59,13 +71,13 @@ def encode_vertices(urls: DataFrame, mode: str = "zip") -> DataFrame:
         r["_pid"]: r["cnt"]
         for r in df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = {}, base_id
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
     # partition-local rank + partition offset; the map is tiny (one entry
     # per partition) so it folds into the plan as a literal CASE expression
-    offset_expr = F.lit(0).cast("long")
+    offset_expr = F.lit(base_id).cast("long")
     for pid, off in offsets.items():
         offset_expr = F.when(F.col("_pid") == pid, F.lit(off).cast("long")).otherwise(
             offset_expr

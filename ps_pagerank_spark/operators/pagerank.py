@@ -26,18 +26,32 @@ Execution design (scale-first):
   * Skew: sources with out-degree > hub_threshold are split out of the
     shuffle join and handled by a broadcast join of their (few) rank rows —
     the role of the reference's hybrid ELL+COO split (README.md:80-88).
-  * kernel="csr_block": per-partition CSR-style gather-scatter in a
-    vectorized Arrow UDF — edges pre-sorted by dst within partitions; the
-    previous rank vector is broadcast as a dense NumPy array; each partition
-    emits pre-aggregated (dst, partial) pairs via np.add.reduceat, shrinking
-    the shuffle to ≤ distinct-dst-per-partition rows. Requires dense
-    dictionary-encoded ids and a rank vector that fits executor memory
-    (~8 GB per 10^9 vertices) — the join kernel is the default beyond that.
+  * kernel="csr_block": per-bucket CSR gather-scatter in a vectorized
+    Arrow UDF with a one-time edge "upload" — the Spark analog of the
+    reference keeping the CSR matrix resident in device memory across
+    iterations (opencl/pagerank.c:456-531 uploads buffers once, then loops).
+    Setup partitions edges by pkey = pmod(hash(src_id), P) and writes one
+    pre-digested CSR block per bucket to a block store (np.save: sorted
+    unique srcs, int32 gather indices, dst-run boundaries for
+    np.add.reduceat). Per iteration ONLY the rank state (V rows) crosses
+    JVM→Python: state is hash-partitioned on vertex_id with the same P, and
+    pmod(hash(v), P) IS the physical partition id, so each mapInArrow task
+    holds exactly the ranks its block gathers — no per-iteration edge
+    shuffle, no O(V) driver transfer, no broadcast. Blocks are mmap-loaded
+    (OS page cache keeps them RAM-hot across iterations). Correctness does
+    NOT depend on the alignment: missing ranks gather as 0 and every state
+    row is seen exactly once, so per-task partials always SUM to the exact
+    contribution (any repartitioning only costs extra block reads).
+    block_dir must be visible to all executors (local disk in local mode;
+    shared FS on a cluster — the block store is "device memory").
 """
 
 from __future__ import annotations
 
 import math
+import os
+import shutil
+import tempfile
 import time
 from collections.abc import Iterator
 from dataclasses import dataclass, field
@@ -99,7 +113,8 @@ def _prepare(
         .select(
             "vertex_id",
             F.coalesce(F.col("dangling"), F.lit(False)).alias("dangling"),
-            (F.lit(1.0) / F.lit(float(n))).alias("rank"),
+            # n==0 → state0 is empty anyway; avoid ANSI div-by-zero
+            (F.lit(1.0) / F.lit(float(n or 1))).alias("rank"),
         )
         .repartition(num_partitions, "vertex_id")
         .localCheckpoint(eager=True)
@@ -143,6 +158,8 @@ def pagerank(
     checkpoint: "object | None" = None,  # plans.catalog.Catalog
     checkpoint_every: int = 0,
     checkpoint_table: str = "pagerank_ranks",
+    block_dir: str | None = None,  # csr_block store (must be executor-visible)
+    dtype: str = "float64",  # csr_block arithmetic: "float64" | "float32"
 ) -> PageRankResult:
     """Run PageRank over edges(src_id, dst_id) [deduplicated upstream].
 
@@ -170,9 +187,15 @@ def pagerank(
     if gather not in ("auto", "shuffle", "broadcast"):
         raise ValueError(f"unknown gather {gather!r}")
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # peek at vertex count cheaply to choose the edge partition key
-    verts_probe = vertices if vertices is not None else vertices_from_edges(edges)
-    n_probe = verts_probe.count() if gather == "auto" else 0
+    # vertex-count probe: only the join kernel's gather="auto" needs it;
+    # persist so _prepare's own materialization reuses the distinct scan
+    use_probe = kernel == "join" and gather == "auto"
+    verts_in = vertices if vertices is not None else vertices_from_edges(edges)
+    probe_persisted = False
+    if use_probe and vertices is None:
+        verts_in = verts_in.persist()
+        probe_persisted = True
+    n_probe = verts_in.count() if use_probe else 0
     use_bcast = kernel == "join" and (
         gather == "broadcast"
         or (gather == "auto" and n_probe <= broadcast_max_vertices)
@@ -180,48 +203,125 @@ def pagerank(
     verts, n, outdeg, wedges, state = _prepare(
         spark,
         edges,
-        verts_probe if vertices is None else vertices,
+        verts_in,
         P,
         edge_part_key="dst_id" if use_bcast else "src_id",
     )
+    if probe_persisted:
+        verts_in.unpersist()
+    if n == 0:  # degenerate input: no vertices, nothing to rank
+        for df in (wedges, verts):
+            df.unpersist()
+        empty = spark.createDataFrame([], "vertex_id long, rank double")
+        return PageRankResult(ranks=empty, iterations=0, converged=True, metrics=[])
 
     hub_part = None
     if hub_threshold is not None and kernel == "join":
         wedges, hub_part = _split_hubs(wedges, outdeg, hub_threshold)
 
-    csr_blocks = None
-    csr_size = 0
+    store = None
     if kernel == "csr_block":
-        csr_blocks = (
-            wedges.repartition(P, "dst_id")
-            .sortWithinPartitions("dst_id")
-            .persist()
-        )
-        csr_blocks.count()
-        # dense array is indexed by raw vertex_id, so size by max id + 1
-        # (== N only when ids are dictionary-encoded dense 0..N−1)
-        csr_size = verts.agg(F.max("vertex_id")).collect()[0][0] + 1
+        store = _build_csr_blocks(wedges, P, block_dir, dtype)
 
-    # dangling mass of R0 = (#dangling)/N — fold into the first iteration
-    dang_mass = (
-        state.filter("dangling").count() / float(n) if dangling_mode == "redistribute" else 0.0
+    state, it, converged, metrics = _iterate(
+        state,
+        wedges,
+        hub_part,
+        store,
+        n=n,
+        P=P,
+        d=d,
+        eps=eps,
+        max_iter=max_iter,
+        fixed_iterations=fixed_iterations,
+        dangling_mode=dangling_mode,
+        use_bcast=use_bcast,
+        start_iter=0,
+        metrics=[],
+        # seed mass = (#dangling)/N — the exact numeric path of the
+        # contract's unrolled oracle (dm0 in _pagerank_sql)
+        init_dang_mass=(
+            state.filter("dangling").count() / float(n)
+            if dangling_mode == "redistribute"
+            else 0.0
+        ),
+        checkpoint=checkpoint,
+        checkpoint_every=checkpoint_every,
+        checkpoint_table=checkpoint_table,
     )
+    ranks = state.select("vertex_id", "rank")
+    for df in (wedges, verts):
+        df.unpersist()
+    if store is not None and store.owns_dir:
+        # best-effort: driver sees the store on local/shared FS only
+        shutil.rmtree(store.path, ignore_errors=True)
+    if hub_part is not None:
+        hub_part[0].unpersist()
+        hub_part[1].unpersist()
+    return PageRankResult(ranks=ranks, iterations=it, converged=converged, metrics=metrics)
 
-    metrics: list[dict] = []
-    it = 0
+
+def _iterate(
+    state: DataFrame,
+    wedges: DataFrame,
+    hub_part,
+    store: "_BlockStore | None",
+    *,
+    n: int,
+    P: int,
+    d: float,
+    eps: float,
+    max_iter: int,
+    fixed_iterations: int | None,
+    dangling_mode: str,
+    use_bcast: bool,
+    start_iter: int,
+    metrics: list[dict],
+    init_dang_mass: float | None = None,
+    checkpoint=None,
+    checkpoint_every: int = 0,
+    checkpoint_table: str = "pagerank_ranks",
+):
+    """Shared power-method loop (fresh runs and resumed runs).
+
+    Per-iteration cost discipline: ONE Spark job. new_state is
+    localCheckpoint(eager=False) — Dataset.checkpoint builds the
+    LogicalRDD-leaf DataFrame immediately (no action), so the plan depth
+    is CONSTANT across iterations, and the fused scalar agg (‖Δ‖², Σrank,
+    dangling mass) then computes the join, persists the checkpoint storage,
+    and reduces the scalars in a single job. (An un-truncated plan is not
+    an option: each iteration references the previous state twice — update
+    join + gather — so the logical tree doubles per iteration; eager
+    checkpointing per iteration, round 1's design, pays a second job per
+    iteration for the same truncation.)
+    """
+    # dangling mass of the incoming state; callers pass the exact seed
+    # (fresh run: (#dangling)/N — the contract's numeric path; resume:
+    # checkpointed Σrank over dangling) or let us recompute it
+    dang_mass = 0.0
+    if dangling_mode == "redistribute":
+        dang_mass = (
+            init_dang_mass
+            if init_dang_mass is not None
+            else state.filter("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+
+    it = start_iter
     converged = False
-    target_iters = fixed_iterations if fixed_iterations is not None else max_iter
+    target_iters = (
+        start_iter + fixed_iterations if fixed_iterations is not None else max_iter
+    )
     while it < target_iters:
         it += 1
         t0 = time.perf_counter()
         base = (1.0 - d) / n + (d * dang_mass / n)
 
-        if kernel == "join":
+        if store is not None:
+            contribs = _gather_scatter_blocks(state, store, P)
+        else:
             contribs = _gather_scatter_join(
                 state, wedges, hub_part, broadcast_ranks=use_bcast
             )
-        else:
-            contribs = _gather_scatter_csr(spark, state, csr_blocks, csr_size)
 
         new_state = (
             state.select("vertex_id", "dangling", F.col("rank").alias("_old"))
@@ -237,10 +337,13 @@ def pagerank(
             # no repartition: the update join streams the P-hash-partitioned
             # state, so its output (and the checkpoint) already carries
             # hash(vertex_id, P) — an explicit repartition would add a
-            # full exchange of the rank vector every iteration
-            .localCheckpoint(eager=True)
+            # full exchange of the rank vector every iteration.
+            # eager=False: plan truncation is immediate, storage
+            # materializes inside the fused agg job below
+            .localCheckpoint(eager=False)
         )
-        # one fused scalar action: ‖Δ‖², Σrank, next iteration's dangling mass
+        # one fused scalar action: ‖Δ‖², Σrank, next iteration's dangling
+        # mass — also materializes new_state's checkpoint (single job)
         agg = new_state.agg(
             F.sum(F.pow(F.col("rank") - F.col("_old"), F.lit(2.0))).alias("sq"),
             F.sum("rank").alias("rank_sum"),
@@ -252,6 +355,8 @@ def pagerank(
         dang_mass = agg["dmass"] if dangling_mode == "redistribute" else 0.0
         old_state = state
         state = new_state.select("vertex_id", "dangling", "rank")
+        # checkpoint storage of dropped states is reclaimed by the
+        # ContextCleaner once unreferenced; unpersist is best-effort
         old_state.unpersist()
         elapsed = time.perf_counter() - t0
         metrics.append(
@@ -271,15 +376,7 @@ def pagerank(
 
     if fixed_iterations is not None:
         converged = True
-    ranks = state.select("vertex_id", "rank")
-    for df in (wedges, verts):
-        df.unpersist()
-    if csr_blocks is not None:
-        csr_blocks.unpersist()
-    if hub_part is not None:
-        hub_part[0].unpersist()
-        hub_part[1].unpersist()
-    return PageRankResult(ranks=ranks, iterations=it, converged=converged, metrics=metrics)
+    return state, it, converged, metrics
 
 
 def _gather_scatter_join(
@@ -311,42 +408,161 @@ def _gather_scatter_join(
     ).select(F.col("dst_id").alias("vertex_id"), "_c")
 
 
-def _gather_scatter_csr(
-    spark: SparkSession, state: DataFrame, csr_blocks: DataFrame, size: int
-) -> DataFrame:
-    """Per-partition CSR-block gather-scatter (J3 analog,
-    opencl/kernel_csr.cl:18-33): one partition ≈ one workgroup.
+@dataclass
+class _BlockStore:
+    """Handle to the on-disk CSR block set built by _build_csr_blocks."""
 
-    The previous rank vector is broadcast dense; each edge partition is
-    already sorted by dst_id, so the scatter is np.add.reduceat over run
-    boundaries — emitting one pre-aggregated partial per (partition, dst).
-    Requires dense vertex ids 0..N−1 (dictionary-encoded).
+    path: str
+    dtype: str
+    n_edges: int
+    owns_dir: bool
+
+
+def _block_files(path: str, pkey: int) -> dict[str, str]:
+    return {
+        name: os.path.join(path, f"blk{pkey}_{name}.npy")
+        for name in ("su", "sidx", "w", "dst", "starts")
+    }
+
+
+def _build_csr_blocks(
+    wedges: DataFrame, P: int, block_dir: str | None, dtype: str
+) -> _BlockStore:
+    """One-time edge "upload" (S5 analog — clEnqueueWriteBuffer of the CSR
+    arrays, opencl/pagerank.c:456-478): bucket edges by
+    pkey = pmod(hash(src_id), P) and write per-bucket pre-digested CSR
+    arrays to the block store:
+
+      su     — sorted unique src ids in the bucket
+      sidx   — per-edge gather index into su (int32 when it fits)
+      w      — per-edge 1/L weight, dst-run order, in `dtype`
+      dst    — unique dst ids, one per run
+      starts — np.add.reduceat run starts into the edge arrays
+
+    The per-iteration kernel then does zero index computation: gather is
+    su_rank[sidx], scatter is one reduceat. pmod(hash(.), P) matches
+    Spark's HashPartitioning placement, so these buckets line up with the
+    rank state's physical partitions for the iteration loop.
     """
-    pdf = state.select("vertex_id", "rank").toPandas()
-    prev = np.zeros(size, dtype=np.float64)
-    prev[pdf["vertex_id"].to_numpy()] = pdf["rank"].to_numpy()
-    bc = spark.sparkContext.broadcast(prev)
+    if dtype not in ("float64", "float32"):
+        raise ValueError(f"unknown dtype {dtype!r}")
+    owns = block_dir is None
+    path = block_dir or tempfile.mkdtemp(prefix="ps_pagerank_blocks_")
+    os.makedirs(path, exist_ok=True)
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        got = list(batches)
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        if tbl.num_rows == 0:
+            return
+        pk = tbl.column("pkey").to_numpy()
+        src = tbl.column("src_id").to_numpy()
+        dst = tbl.column("dst_id").to_numpy()
+        w = tbl.column("w").to_numpy().astype(dtype, copy=False)
+        out_k, out_n = [], []
+        for key in np.unique(pk):
+            m = pk == key
+            s, t, ww = src[m], dst[m], w[m]
+            order = np.argsort(t, kind="stable")
+            s, t, ww = s[order], t[order], ww[order]
+            su = np.unique(s)
+            sidx = np.searchsorted(su, s)
+            if len(su) < np.iinfo(np.int32).max:
+                sidx = sidx.astype(np.int32)
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(t)) + 1))
+            files = _block_files(path, int(key))
+            np.save(files["su"], su)
+            np.save(files["sidx"], sidx)
+            np.save(files["w"], ww)
+            np.save(files["dst"], t[starts])
+            np.save(files["starts"], starts)
+            out_k.append(int(key))
+            out_n.append(int(len(s)))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_k, type=pa.int32()), pa.array(out_n, type=pa.int64())],
+            names=["pkey", "n_edges"],
+        )
+
+    manifest = (
+        wedges.select(
+            F.pmod(F.hash("src_id"), F.lit(P)).cast("int").alias("pkey"),
+            "src_id",
+            "dst_id",
+            "w",
+        )
+        .repartition(P, "pkey")
+        .mapInArrow(build, schema="pkey int, n_edges long")
+        .collect()
+    )
+    return _BlockStore(
+        path=path,
+        dtype=dtype,
+        n_edges=sum(r["n_edges"] for r in manifest),
+        owns_dir=owns,
+    )
+
+
+def _gather_scatter_blocks(
+    state: DataFrame, store: _BlockStore, P: int
+) -> DataFrame:
+    """Per-bucket CSR gather-scatter (J3 analog, opencl/kernel_csr.cl:18-33)
+    over the resident block store — only the rank state moves per iteration.
+
+    Each mapInArrow task groups its state rows by pkey, mmap-loads the
+    bucket's block, fills su_rank by binary-searching the incoming
+    (vertex_id, rank) rows, and emits pre-aggregated (dst, partial) pairs.
+    Ranks absent from the task gather as 0, and every state row exists in
+    exactly one task, so summing partials across tasks is exact regardless
+    of how the state is physically partitioned — alignment with the block
+    buckets (the default, via hash partitioning) only removes duplicate
+    block reads.
+    """
+    path, dtype = store.path, store.dtype
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pv = bc.value
-        for batch in batches:
-            dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
-            src = batch.column("src_id").to_numpy(zero_copy_only=False)
-            w = batch.column("w").to_numpy(zero_copy_only=False)
-            if len(dst) == 0:
-                continue
-            vals = w * pv[src]  # gather (J1: val[k]·prevR[col[k]])
-            # rows sorted by dst: run-boundary scatter == CSR rowPtr walk
-            bounds = np.flatnonzero(np.diff(dst)) + 1
-            starts = np.concatenate(([0], bounds))
-            sums = np.add.reduceat(vals, starts)
-            uniq = dst[starts]
+        got = list(batches)
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        if tbl.num_rows == 0:
+            return
+        pk = tbl.column("pkey").to_numpy()
+        vid = tbl.column("vertex_id").to_numpy()
+        rank = tbl.column("rank").to_numpy()
+        for key in np.unique(pk):
+            files = _block_files(path, int(key))
+            if not os.path.exists(files["su"]):
+                continue  # bucket has vertices but no out-edges
+            su = np.load(files["su"], mmap_mode="r")
+            sidx = np.load(files["sidx"], mmap_mode="r")
+            w = np.load(files["w"], mmap_mode="r")
+            dst = np.load(files["dst"], mmap_mode="r")
+            starts = np.load(files["starts"], mmap_mode="r")
+            m = pk == key
+            ids, rk = vid[m], rank[m]
+            order = np.argsort(ids, kind="stable")
+            ids, rk = ids[order], rk[order]
+            pos = np.searchsorted(ids, su)
+            pos_c = np.minimum(pos, len(ids) - 1)
+            present = ids[pos_c] == su
+            su_rank = np.where(present, rk[pos_c], 0.0).astype(dtype, copy=False)
+            vals = w * su_rank[sidx]  # gather: val[k]·prevR[col[k]]
+            sums = np.add.reduceat(vals, starts)  # CSR rowPtr scatter
             yield pa.RecordBatch.from_arrays(
-                [pa.array(uniq, type=pa.int64()), pa.array(sums, type=pa.float64())],
+                [
+                    pa.array(np.asarray(dst), type=pa.int64()),
+                    pa.array(sums.astype(np.float64), type=pa.float64()),
+                ],
                 names=["vertex_id", "_p"],
             )
 
-    partials = csr_blocks.mapInArrow(gen, schema="vertex_id long, _p double")
+    partials = state.select(
+        F.pmod(F.hash("vertex_id"), F.lit(P)).cast("int").alias("pkey"),
+        "vertex_id",
+        "rank",
+    ).mapInArrow(gen, schema="vertex_id long, _p double")
     return partials.groupBy("vertex_id").agg(F.sum("_p").alias("_c"))
 
 
@@ -375,13 +591,21 @@ def resume_pagerank(
     the state is the exact per-iteration vector (tests/test_resume.py)."""
     snap = catalog.latest_snapshot(checkpoint_table)
     if snap is None:
-        return pagerank(spark, edges, **kwargs)
+        return pagerank(spark, edges, checkpoint_table=checkpoint_table, **kwargs)
     start_iter = snap["props"]["iter"]
     prev_metrics = snap["props"].get("metrics", [])
     state = catalog.read(spark, checkpoint_table).select(
         "vertex_id", "dangling", "rank"
     )
-    res = _continue(spark, edges, state, start_iter, prev_metrics, **kwargs)
+    res = _continue(
+        spark,
+        edges,
+        state,
+        start_iter,
+        prev_metrics,
+        checkpoint_table=checkpoint_table,
+        **kwargs,
+    )
     return res
 
 
@@ -396,53 +620,45 @@ def _continue(
     d: float = D_DEFAULT,
     eps: float = EPS_DEFAULT,
     max_iter: int = 1000,
+    fixed_iterations: int | None = None,
     dangling_mode: str = "none",
     num_partitions: int | None = None,
-    **_: object,
+    checkpoint: "object | None" = None,
+    checkpoint_every: int = 0,
+    checkpoint_table: str = "pagerank_ranks",
+    **unknown: object,
 ) -> PageRankResult:
     """Continuation loop used by resume (join kernel only — checkpointed
-    runs are the production path)."""
+    runs are the production path). Checkpointing continues through the
+    resumed run: a second failure resumes from the latest post-resume
+    snapshot, not from the original one."""
+    if unknown:
+        raise TypeError(
+            f"resume_pagerank: unsupported kwargs for a resumed run: "
+            f"{sorted(unknown)} (kernel/gather options apply to fresh runs)"
+        )
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts, n, outdeg, wedges, _ = _prepare(spark, edges, vertices, P)
     state = state.repartition(P, "vertex_id").localCheckpoint(eager=True)
-    dang_mass = 0.0
-    if dangling_mode == "redistribute":
-        dang_mass = state.filter("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
-    metrics = list(prev_metrics)
-    it = start_iter
-    converged = False
-    while it < max_iter:
-        it += 1
-        base = (1.0 - d) / n + (d * dang_mass / n)
-        contribs = _gather_scatter_join(state, wedges, None)
-        new_state = (
-            state.select("vertex_id", "dangling", F.col("rank").alias("_old"))
-            .join(contribs, "vertex_id", "left")
-            .select(
-                "vertex_id",
-                "dangling",
-                (F.lit(base) + F.lit(d) * F.coalesce(F.col("_c"), F.lit(0.0))).alias(
-                    "rank"
-                ),
-                "_old",
-            )
-            # already hash(vertex_id, P) via the streamed state side
-            .localCheckpoint(eager=True)
-        )
-        agg = new_state.agg(
-            F.sum(F.pow(F.col("rank") - F.col("_old"), F.lit(2.0))).alias("sq"),
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias(
-                "dmass"
-            ),
-        ).collect()[0]
-        delta = math.sqrt(agg["sq"])
-        dang_mass = agg["dmass"] if dangling_mode == "redistribute" else 0.0
-        state.unpersist()
-        state = new_state.select("vertex_id", "dangling", "rank")
-        metrics.append({"iter": it, "l2_delta": delta})
-        if delta <= eps:
-            converged = True
-            break
+    state, it, converged, metrics = _iterate(
+        state,
+        wedges,
+        None,
+        None,
+        n=n,
+        P=P,
+        d=d,
+        eps=eps,
+        max_iter=max_iter,
+        fixed_iterations=fixed_iterations,
+        dangling_mode=dangling_mode,
+        use_bcast=False,
+        start_iter=start_iter,
+        metrics=list(prev_metrics),
+        checkpoint=checkpoint,
+        checkpoint_every=checkpoint_every,
+        checkpoint_table=checkpoint_table,
+    )
     ranks = state.select("vertex_id", "rank")
     wedges.unpersist()
     verts.unpersist()
@@ -509,6 +725,10 @@ def pagerank_block(
     vids = vstats["vertex_id"].to_numpy()
     size = int(vids.max()) + 1 if len(vids) else 0
     n = len(vids)
+    if n == 0:  # degenerate input: nothing to rank
+        blocks.unpersist()
+        empty = spark.createDataFrame([], "vertex_id long, rank double")
+        return PageRankResult(ranks=empty, iterations=0, converged=True, metrics=[])
     exists = np.zeros(size, dtype=bool)
     exists[vids] = True
     dangling = np.zeros(size, dtype=bool)

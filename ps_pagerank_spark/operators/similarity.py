@@ -250,12 +250,36 @@ def embedding_neardup_pairs(
     threshold_u: int = 900000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
+    brute_max_rows: int = 20_000,
+    n_planes: int = 6,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """All pairs (a < b) with floor-micros cosine ≥ threshold_u.
+    """Pairs (a < b) with floor-micros cosine ≥ threshold_u.
 
-    Brute force O(n²) — correct baseline; the LSH bucket join above is the
-    scale path (candidates within bucket only).
+    method:
+      * "brute" — exact O(n²) cross join. Correct at any τ, only viable for
+        small corpora.
+      * "lsh"   — scale path: candidate pairs share a random-hyperplane
+        bucket in ≥1 of `n_tables` independent tables (banded LSH), then
+        exact-cosine verify. No cross join anywhere; recall < 1 is tunable
+        (more tables / fewer planes → higher recall, bigger buckets).
+      * "auto"  — brute iff the corpus has ≤ brute_max_rows rows (one
+        count), else lsh — the 100 TB default never goes quadratic.
     """
+    if method not in ("auto", "brute", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "auto":
+        method = "brute" if emb.count() <= brute_max_rows else "lsh"
+    if method == "lsh":
+        return _embedding_neardup_lsh(
+            emb,
+            threshold_u=threshold_u,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_planes=n_planes,
+            n_tables=n_tables,
+        )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
@@ -268,6 +292,86 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_u") >= threshold_u)
     )
+
+
+def _table_planes(t: int, n_planes: int, dim: int) -> list[list[float]]:
+    """Independent plane set per table (distinct md5 namespace per (t, p))."""
+    return [_plane(t * 1000 + p, dim) for p in range(n_planes)]
+
+
+def _embedding_neardup_lsh(
+    emb: DataFrame,
+    *,
+    threshold_u: int,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """Banded hyperplane LSH near-dup: candidates from slim bucket
+    self-joins (ids only — embeddings are re-attached AFTER pair dedup, so
+    the widest shuffle carries two longs per row, not two vectors)."""
+    dim = _dim_of(emb, vec_col)
+    buckets = F.array(
+        *[
+            lsh_bucket(F.col(vec_col), _table_planes(t, n_planes, dim))
+            for t in range(n_tables)
+        ]
+    )
+    banded = emb.select(
+        F.col(id_col).alias("_id"), F.posexplode(buckets).alias("_t", "_b")
+    )
+    a = banded.select(F.col("_id").alias("id_a"), "_t", "_b")
+    b = banded.select(F.col("_id").alias("id_b"), "_t", "_b")
+    cand = (
+        a.join(b, ["_t", "_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            micros(cosine(F.col("_va"), F.col("_vb"))).alias("cosine_u"),
+        )
+        .filter(F.col("cosine_u") >= threshold_u)
+    )
+
+
+def embedding_neardup_lsh_sql(
+    emb_sql: str, *, threshold_u: int, dim: int, n_planes: int = 6, n_tables: int = 4
+) -> str:
+    """DuckDB twin of the banded-LSH near-dup (same plane constants ⇒ same
+    candidate sets ⇒ identical rows)."""
+    # buckets are computed in their own CTE (DuckDB can't bind correlated
+    # columns inside list-lambdas under LATERAL), then zip-unnested
+    bk_cols = ", ".join(
+        f"{_bucket_sql('embedding', _table_planes(t, n_planes, dim), dim)} AS bk{t}"
+        for t in range(n_tables)
+    )
+    bk_list = ", ".join(f"bk{t}" for t in range(n_tables))
+    cos = cosine_sql("va.embedding", "vb.embedding", dim)
+    return f"""
+src AS (SELECT vec_id, {bk_cols} FROM {emb_sql}),
+banded AS (
+  SELECT vec_id AS _id,
+         unnest(generate_series(0, {n_tables - 1})) AS _t,
+         unnest([{bk_list}]) AS _b
+  FROM src),
+cand AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM banded a JOIN banded b
+    ON a._t = b._t AND a._b = b._b AND a._id < b._id)
+SELECT c.id_a, c.id_b, {micros_sql(cos)} AS cosine_u
+FROM cand c
+JOIN {emb_sql} va ON va.vec_id = c.id_a
+JOIN {emb_sql} vb ON vb.vec_id = c.id_b
+WHERE {micros_sql(cos)} >= {threshold_u}"""
 
 
 def embedding_neardup_pairs_sql(

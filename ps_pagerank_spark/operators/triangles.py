@@ -13,11 +13,18 @@ equi-joins):
   2. wedges: self-join oriented edges on the pivot u: (u→v, u→w), v ≺ w;
   3. close: semi-join wedges against oriented edges (v→w) → one row per
      triangle (u ≺ v ≺ w);
-  4. per-vertex counts: explode the three corners, hash-count, left-join
-     back to the vertex universe with 0 fill.
+  4. per-vertex counts: one partial-aggregated groupBy per corner role
+     over the persisted triangle set, union, final sum — three thin
+     shuffles of ≤V pre-aggregated rows instead of exploding 3·|tris|
+     corner rows through one.
+
+The (degree, id) total order is packed into a single long
+(deg·2^32 + id), so wedge rows carry three longs — not two structs —
+through the widest shuffle. Validity bound: vertex ids < 2^32 (the
+dictionary encoder emits dense 0..N−1, so this holds to 4.3B vertices).
 
 All joins are equi-joins Catalyst can plan (sort-merge / shuffled-hash /
-broadcast by stats + AQE); the only wide row is the 3-corner explode.
+broadcast by stats + AQE).
 """
 
 from __future__ import annotations
@@ -54,48 +61,57 @@ def triangle_counts(
         .groupBy("x")
         .agg(F.count("*").alias("deg"))
     )
-    da = deg.select(F.col("x").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("x").alias("b"), F.col("deg").alias("deg_b"))
-    # orient by (degree, id): lower-order endpoint → higher-order endpoint
-    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    # total order (degree, id) packed into one long: ord = deg·2^32 + id
+    # (ids are dictionary-dense < 2^32 — see module docstring)
+    da = deg.select(
+        F.col("x").alias("a"),
+        (F.shiftleft(F.col("deg").cast("long"), 32) + F.col("x")).alias("ord_a"),
     )
+    db = deg.select(
+        F.col("x").alias("b"),
+        (F.shiftleft(F.col("deg").cast("long"), 32) + F.col("x")).alias("ord_b"),
+    )
+    lower_first = F.col("ord_a") < F.col("ord_b")
     oriented = (
         und.join(da, "a")
         .join(db, "b")
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-            F.when(lower_first, F.struct("deg_b", "b")).otherwise(
-                F.struct(F.col("deg_a").alias("deg_b"), F.col("a").alias("b"))
-            ).alias("_vord"),
+            F.greatest("ord_a", "ord_b").alias("_vord"),
         )
-        .select("u", "v", "_vord")
         .repartition(P, "u")
         .persist()
     )
     e1 = oriented.select("u", F.col("v").alias("v1"), F.col("_vord").alias("o1"))
     e2 = oriented.select("u", F.col("v").alias("v2"), F.col("_vord").alias("o2"))
-    # wedge (v1 ≺ v2 under the same total order used to orient)
-    wedges = e1.join(e2, "u").filter(
-        (F.col("o1.deg_b") < F.col("o2.deg_b"))
-        | ((F.col("o1.deg_b") == F.col("o2.deg_b")) & (F.col("v1") < F.col("v2")))
+    # wedge (v1 ≺ v2 under the same total order used to orient); ords are
+    # dropped before the widest shuffle — closing only needs the ids
+    wedges = (
+        e1.join(e2, "u").filter(F.col("o1") < F.col("o2")).select("u", "v1", "v2")
     )
     closing = oriented.select(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
-    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
-    counts = (
-        tris.select(
-            F.explode(F.array("u", "v1", "v2")).alias("vertex_id")
+    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2").persist()
+    per_role = [
+        tris.groupBy(F.col(c).alias("vertex_id")).agg(
+            F.count("*").alias("_t")
         )
+        for c in ("u", "v1", "v2")
+    ]
+    counts = (
+        per_role[0]
+        .unionByName(per_role[1])
+        .unionByName(per_role[2])
         .groupBy("vertex_id")
-        .agg(F.count("*").alias("triangles"))
+        .agg(F.sum("_t").alias("triangles"))
     )
     out = verts.join(counts, "vertex_id", "left").select(
         "vertex_id",
         F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
     )
     out = out.localCheckpoint(eager=True)
+    tris.unpersist()
     oriented.unpersist()
     return out

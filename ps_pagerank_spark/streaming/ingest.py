@@ -65,8 +65,13 @@ def _extend_dictionary(
     New ids start at current max+1, assigned by url order within the batch
     (deterministic given batch content). Existing assignments are
     immutable — downstream edge ids never need re-encoding.
+
+    Id assignment is the zip-style prefix encoding shared with batch
+    ``encode_vertices`` (operators/graph.zip_index) — partition-local
+    row_number + tiny driver prefix sum, no single-partition global window
+    serializing the stage.
     """
-    from pyspark.sql import Window
+    from ps_pagerank_spark.operators.graph import zip_index
 
     batch_urls = (
         links.select(F.col("src_url").alias("url"))
@@ -82,13 +87,7 @@ def _extend_dictionary(
         if base_id is None:
             base_id = -1
     new_urls = batch_urls.join(existing.select("url"), "url", "left_anti")
-    w = Window.orderBy("url")  # batch-local window: O(batch) rows
-    new_vertices = new_urls.select(
-        (F.row_number().over(w) + F.lit(int(base_id))).cast("long").alias(
-            "vertex_id"
-        ),
-        "url",
-    )
+    new_vertices = zip_index(new_urls, base_id=int(base_id) + 1)
     if new_vertices.isEmpty():
         return existing
     catalog.append(VERTICES_TABLE, new_vertices)
@@ -107,16 +106,30 @@ def run_edge_ingest(
     """Start (and for available_now=True, run to completion) the ingest
     stream: pages → links → incremental dictionary → edges appends.
 
-    Exactly-once: each catalog append records ``{"stream_batch_id": i}``;
-    on restart, Structured Streaming replays the last uncommitted batch and
-    the sink skips ids it has already committed.
+    Exactly-once, two independent layers:
+      * fast path — each catalog append records
+        ``{"stream_batch_id": i, "stream_ckpt": checkpoint_dir}``; a
+        replayed batch from the SAME checkpoint is skipped outright. The
+        checkpoint scoping matters: batch ids restart at 0 under a fresh
+        checkpoint dir, so a bare id match would silently drop a genuinely
+        new batch (or reprocess all of them).
+      * content layer — encoded batch edges are anti-joined against the
+        existing edges table before the append, so the edges table stays a
+        SET (pagerank()'s "deduplicated upstream" contract): re-crawled
+        pages, repeated links across segments, and replays from a different
+        checkpoint all append zero duplicate rows. O(batch) probe against
+        the edge table's join side, not O(table) rewrite.
     """
     links = stream_links(stream_pages(spark, landing_dir,
                                       max_files_per_trigger=max_files_per_trigger))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         last = catalog.latest_snapshot(EDGES_TABLE)
-        if last is not None and last["props"].get("stream_batch_id") == batch_id:
+        if (
+            last is not None
+            and last["props"].get("stream_batch_id") == batch_id
+            and last["props"].get("stream_ckpt") == checkpoint_dir
+        ):
             return  # replay of a committed batch — idempotent skip
         from ps_pagerank_spark.operators.graph import encode_edges
 
@@ -124,8 +137,19 @@ def run_edge_ingest(
         try:
             vertices = _extend_dictionary(spark, catalog, batch_links)
             edges = encode_edges(batch_links, vertices)
+            if last is not None:
+                edges = edges.join(
+                    catalog.read(spark, EDGES_TABLE).select("src_id", "dst_id"),
+                    ["src_id", "dst_id"],
+                    "left_anti",
+                )
             catalog.append(
-                EDGES_TABLE, edges, props={"stream_batch_id": batch_id}
+                EDGES_TABLE,
+                edges,
+                props={
+                    "stream_batch_id": batch_id,
+                    "stream_ckpt": checkpoint_dir,
+                },
             )
         finally:
             batch_links.unpersist()

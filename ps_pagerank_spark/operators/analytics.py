@@ -73,7 +73,7 @@ def windowed_stats_sql(
 SELECT {bucket} AS window_start,
        event_type,
        count(*) AS n_events,
-       SUM({u}) AS value_sum_u,
+       CAST(SUM({u}) AS BIGINT) AS value_sum_u,
        MIN({u}) AS value_min_u,
        MAX({u}) AS value_max_u,
        count(DISTINCT user_id) AS n_users
@@ -142,8 +142,8 @@ flagged AS (
   FROM {events_sql}),
 with_sid AS (
   SELECT user_id, ts,
-         SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id,
        {s_start} AS session_start, {s_end} AS session_end,

@@ -63,29 +63,44 @@ def zip_index(urls: DataFrame, base_id: int = 0) -> DataFrame:
     prefix sum over per-partition counts). Deterministic given content;
     no single-partition global window anywhere.
     """
+    spark = urls.sparkSession
     df = urls.repartitionByRange(F.col("url")).sortWithinPartitions("url")
     df = df.select(
         "url", F.spark_partition_id().alias("_pid")
     )
+    # Pin the physical partitioning BEFORE running two actions over it:
+    # RangePartitioner samples boundaries with an rdd-id-derived seed, so
+    # re-executing the exchange for the second action could pick different
+    # boundaries once partitions exceed the sample size — the offsets from
+    # action 1 would then disagree with action 2's placement, duplicating
+    # or skipping ids. localCheckpoint(eager=True) materializes the blocks
+    # once; both the counts collect and the final projection read them.
+    df = df.localCheckpoint(eager=True)
     counts = {
         r["_pid"]: r["cnt"]
         for r in df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets, acc = {}, base_id
+    offsets, acc = [], base_id
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((int(pid), int(acc)))
         acc += counts[pid]
-    # partition-local rank + partition offset; the map is tiny (one entry
-    # per partition) so it folds into the plan as a literal CASE expression
-    offset_expr = F.lit(base_id).cast("long")
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("_pid") == pid, F.lit(off).cast("long")).otherwise(
-            offset_expr
-        )
+    # partition-local rank + partition offset via a tiny broadcast-joined
+    # offsets table (one row per partition). A literal CASE chain here gets
+    # P entries deep — slow codegen / 64KB-method fallback at P=10k — while
+    # the broadcast hash join stays O(1) per row at any P.
+    offsets_df = F.broadcast(
+        spark.createDataFrame(offsets, "_pid int, _off long")
+    )
     w = Window.partitionBy("_pid").orderBy("url")
-    return df.select(
-        (F.row_number().over(w) - 1 + offset_expr).cast("long").alias("vertex_id"),
-        "url",
+    return (
+        df.select(
+            "url", "_pid", (F.row_number().over(w) - 1).cast("long").alias("_rk")
+        )
+        .join(offsets_df, "_pid")
+        .select(
+            (F.col("_rk") + F.col("_off")).cast("long").alias("vertex_id"),
+            "url",
+        )
     )
 
 

@@ -42,17 +42,25 @@ Execution design (scale-first):
     NOT depend on the alignment: missing ranks gather as 0 and every state
     row is seen exactly once, so per-task partials always SUM to the exact
     contribution (any repartitioning only costs extra block reads).
-    block_dir must be visible to all executors (local disk in local mode;
-    shared FS on a cluster — the block store is "device memory").
+    block_dir must be visible to all executors: a local/shared-FS path
+    (mmap fast path) or any pyarrow.fs URI (`hdfs://`, `s3://`, ...) when
+    executors don't share a disk — the block store is "device memory".
+    Builds write a manifest (run id, P, dtype, per-bucket inventory) that
+    every reader validates, so a stale or invisible store fails loudly
+    instead of silently corrupting ranks.
 """
 
 from __future__ import annotations
 
+import io
+import json
 import math
 import os
 import shutil
 import tempfile
 import time
+import uuid
+import warnings
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -82,48 +90,6 @@ class PageRankResult:
     # (c-single-threaded/pagerank.c:318-330): prep_s = vertex/edge/state
     # materialization, blocks_s = csr_block store upload, conv_s = loop
     phases: dict = field(default_factory=dict)
-
-
-def _prepare(
-    spark: SparkSession,
-    edges: DataFrame,
-    vertices: DataFrame | None,
-    num_partitions: int,
-    edge_part_key: str = "src_id",
-):
-    """Iteration-invariant state: vertex universe, N, weighted edges
-    partitioned by `edge_part_key`, dangling flags.
-
-    Partition key choice: "src_id" co-locates the shuffle gather join;
-    "dst_id" makes the scatter groupBy exchange-free (used with the
-    broadcast gather, where the join itself needs no co-location)."""
-    verts = vertices if vertices is not None else vertices_from_edges(edges)
-    verts = verts.select("vertex_id").repartition(num_partitions, "vertex_id")
-    verts.persist()
-    n = verts.count()
-    outdeg = out_degrees(edges)
-    wedges = (
-        weighted_edges(edges)
-        .repartition(num_partitions, edge_part_key)
-        .persist()
-    )
-    wedges.count()  # materialize once; every iteration reuses these blocks
-    # dangling flag per vertex (no out-edges)
-    dang = verts.join(
-        outdeg.select(F.col("src_id").alias("vertex_id")), "vertex_id", "left_anti"
-    ).withColumn("dangling", F.lit(True))
-    state0 = (
-        verts.join(dang, "vertex_id", "left")
-        .select(
-            "vertex_id",
-            F.coalesce(F.col("dangling"), F.lit(False)).alias("dangling"),
-            # n==0 → state0 is empty anyway; avoid ANSI div-by-zero
-            (F.lit(1.0) / F.lit(float(n or 1))).alias("rank"),
-        )
-        .repartition(num_partitions, "vertex_id")
-        .localCheckpoint(eager=True)
-    )
-    return verts, n, outdeg, wedges, state0
 
 
 def _split_hubs(wedges: DataFrame, outdeg: DataFrame, hub_threshold: int):
@@ -164,11 +130,20 @@ def pagerank(
     checkpoint_table: str = "pagerank_ranks",
     block_dir: str | None = None,  # csr_block store (must be executor-visible)
     dtype: str = "float64",  # csr_block arithmetic: "float64" | "float32"
+    start_state: DataFrame | None = None,  # resume: (vertex_id,dangling,rank)
+    start_iter: int = 0,  # resume: iterations already done
+    prev_metrics: list | None = None,  # resume: metrics of the prior run
 ) -> PageRankResult:
     """Run PageRank over edges(src_id, dst_id) [deduplicated upstream].
 
     Returns converged ranks plus per-iteration metrics. See module
     docstring for semantics and physical design.
+
+    start_state resumes from a checkpointed rank vector with IDENTICAL
+    per-kernel semantics: every kernel/gather/hub option works on a
+    resumed run (resume_pagerank routes here). A resumed csr_block run
+    reattaches an existing block_dir when its manifest matches (P, dtype,
+    edge count), else rebuilds the store.
 
     gather ("join" kernel only):
       * "shuffle"   — co-partitioned equi-join on src_id; the plan that
@@ -219,29 +194,42 @@ def pagerank(
         .repartition(P, "dst_id" if use_bcast else "src_id")
         .persist()
     )
-    wedges.count()  # materialize once; every iteration reuses these blocks
-    dang = verts.join(
-        outdeg.select(F.col("src_id").alias("vertex_id")), "vertex_id", "left_anti"
-    ).withColumn("dangling", F.lit(True))
-    state = (
-        verts.join(dang, "vertex_id", "left")
-        .select(
-            "vertex_id",
-            F.coalesce(F.col("dangling"), F.lit(False)).alias("dangling"),
-            (F.lit(1.0) / F.lit(float(n))).alias("rank"),
+    n_edges = wedges.count()  # materialize once; iterations reuse the blocks
+    if start_state is not None:
+        # resume: the checkpointed vector already carries the dangling flag;
+        # _iterate reseeds the redistribute mass from Σ rank over dangling
+        # (init_dang_mass=None), matching an uninterrupted run exactly
+        state = (
+            start_state.select("vertex_id", "dangling", "rank")
+            .repartition(P, "vertex_id")
+            .localCheckpoint(eager=True)
         )
-        .repartition(P, "vertex_id")
-        .localCheckpoint(eager=False)
-    )
-    init_dang_mass = 0.0
-    if dangling_mode == "redistribute":
-        # seed mass = (#dangling)/N — the exact numeric path of the
-        # contract's unrolled oracle (dm0 in _pagerank_sql); the agg also
-        # materializes state0's checkpoint in the same job
-        dang_cnt = state.agg(
-            F.sum(F.when(F.col("dangling"), 1).otherwise(0)).alias("c")
-        ).collect()[0]["c"]
-        init_dang_mass = (dang_cnt or 0) / float(n)
+        init_dang_mass = None
+    else:
+        dang = verts.join(
+            outdeg.select(F.col("src_id").alias("vertex_id")),
+            "vertex_id",
+            "left_anti",
+        ).withColumn("dangling", F.lit(True))
+        state = (
+            verts.join(dang, "vertex_id", "left")
+            .select(
+                "vertex_id",
+                F.coalesce(F.col("dangling"), F.lit(False)).alias("dangling"),
+                (F.lit(1.0) / F.lit(float(n))).alias("rank"),
+            )
+            .repartition(P, "vertex_id")
+            .localCheckpoint(eager=False)
+        )
+        init_dang_mass = 0.0
+        if dangling_mode == "redistribute":
+            # seed mass = (#dangling)/N — the exact numeric path of the
+            # contract's unrolled oracle (dm0 in _pagerank_sql); the agg also
+            # materializes state0's checkpoint in the same job
+            dang_cnt = state.agg(
+                F.sum(F.when(F.col("dangling"), 1).otherwise(0)).alias("c")
+            ).collect()[0]["c"]
+            init_dang_mass = (dang_cnt or 0) / float(n)
 
     hub_part = None
     if hub_threshold is not None and kernel == "join":
@@ -250,12 +238,29 @@ def pagerank(
 
     store = None
     t_blocks = 0.0
+    align_frac = None
     if kernel == "csr_block":
         t0 = time.perf_counter()
-        # wedges was persisted with repartition(P, "src_id") above, so each
-        # physical partition IS one pkey bucket — no bucketing shuffle
-        store = _build_csr_blocks(wedges, P, block_dir, dtype, aligned=True)
+        if start_state is not None and block_dir is not None:
+            # resume fast path: reattach the prior run's store if its
+            # manifest matches this graph
+            store = _attach_csr_blocks(block_dir, P, dtype, n_edges)
+        if store is None:
+            # wedges was persisted with repartition(P, "src_id") above, so
+            # each physical partition IS one pkey bucket — no bucket shuffle
+            store = _build_csr_blocks(wedges, P, block_dir, dtype, aligned=True)
         t_blocks = time.perf_counter() - t0
+        align_frac = _alignment_fraction(state, P)
+        if align_frac < 1.0:
+            warnings.warn(
+                f"csr_block state/bucket alignment broken: only "
+                f"{align_frac:.2%} of state rows sit in their pkey's "
+                "physical partition — results stay exact, but tasks will "
+                "read multiple blocks per iteration (HashPartitioning "
+                "placement changed?)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     t_conv0 = time.perf_counter()
     state, it, converged, metrics = _iterate(
@@ -271,8 +276,8 @@ def pagerank(
         fixed_iterations=fixed_iterations,
         dangling_mode=dangling_mode,
         use_bcast=use_bcast,
-        start_iter=0,
-        metrics=[],
+        start_iter=start_iter,
+        metrics=list(prev_metrics or []),
         init_dang_mass=init_dang_mass,
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,
@@ -292,6 +297,8 @@ def pagerank(
         "blocks_s": round(t_blocks, 3),
         "conv_s": round(time.perf_counter() - t_conv0, 3),
     }
+    if align_frac is not None:
+        phases["block_alignment"] = round(align_frac, 6)
     return PageRankResult(
         ranks=ranks,
         iterations=it,
@@ -450,12 +457,109 @@ def _gather_scatter_join(
 
 @dataclass
 class _BlockStore:
-    """Handle to the on-disk CSR block set built by _build_csr_blocks."""
+    """Handle to the CSR block set built by _build_csr_blocks."""
 
     path: str
     dtype: str
     n_edges: int
     owns_dir: bool
+    run_id: str = ""
+    num_buckets: int = 0
+
+
+_STORE_VERSION = 1
+_MANIFEST = "manifest.json"
+
+
+# --- block-store filesystem layer ------------------------------------------
+# block_dir is either a plain/`file://` local path (fast path: np.save +
+# np.load(mmap) — the OS page cache keeps blocks RAM-hot across iterations)
+# or any URI pyarrow.fs can open (`hdfs://`, `s3://`, ...), so the store
+# works when executors do NOT share a local disk. Remote blocks are read
+# fully per task (no mmap); one read per bucket per iteration.
+
+
+def _is_remote(path: str) -> bool:
+    # any URI (including file://) routes through pyarrow.fs; plain paths
+    # take the np.save/np.load(mmap) fast path
+    return "://" in path
+
+
+def _fs_from_uri(path: str):
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
+def _store_mkdirs(dirpath: str) -> None:
+    if _is_remote(dirpath):
+        fs, inner = _fs_from_uri(dirpath)
+        fs.create_dir(inner, recursive=True)
+    else:
+        os.makedirs(dirpath, exist_ok=True)
+
+
+def _store_list(dirpath: str) -> list[str]:
+    if _is_remote(dirpath):
+        from pyarrow import fs as pafs
+
+        fs, inner = _fs_from_uri(dirpath)
+        infos = fs.get_file_info(pafs.FileSelector(inner, allow_not_found=True))
+        return [os.path.basename(i.path) for i in infos]
+    p = dirpath
+    return os.listdir(p) if os.path.isdir(p) else []
+
+
+def _store_delete(path: str) -> None:
+    if _is_remote(path):
+        fs, inner = _fs_from_uri(path)
+        fs.delete_file(inner)
+    else:
+        os.remove(path)
+
+
+def _store_write_bytes(path: str, data: bytes) -> None:
+    if _is_remote(path):
+        fs, inner = _fs_from_uri(path)
+        with fs.open_output_stream(inner) as f:
+            f.write(data)
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+def _store_read_bytes(path: str) -> bytes:
+    if _is_remote(path):
+        fs, inner = _fs_from_uri(path)
+        with fs.open_input_stream(inner) as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _store_write_npy(path: str, arr: np.ndarray) -> None:
+    if _is_remote(path):
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        _store_write_bytes(path, buf.getvalue())
+    else:
+        np.save(path, arr)
+
+
+def _store_read_npy(path: str) -> np.ndarray:
+    if _is_remote(path):
+        return np.load(io.BytesIO(_store_read_bytes(path)))
+    return np.load(path, mmap_mode="r")
+
+
+def _clear_store(dirpath: str) -> None:
+    """Remove block files + manifest left by a previous build. A caller-
+    supplied block_dir may hold blocks of a DIFFERENT graph: a bucket with
+    edges last run but empty this run would otherwise keep its stale file
+    and silently add phantom contributions."""
+    for name in _store_list(dirpath):
+        if name == _MANIFEST or (name.startswith("blk") and name.endswith(".npy")):
+            _store_delete(os.path.join(dirpath, name))
 
 
 def _block_files(path: str, pkey: int) -> dict[str, str]:
@@ -463,6 +567,42 @@ def _block_files(path: str, pkey: int) -> dict[str, str]:
         name: os.path.join(path, f"blk{pkey}_{name}.npy")
         for name in ("su", "sidx", "w", "dst", "starts")
     }
+
+
+def _read_manifest(path: str) -> dict | None:
+    try:
+        return json.loads(_store_read_bytes(os.path.join(path, _MANIFEST)))
+    except (OSError, ValueError):
+        return None
+
+
+# per-worker manifest cache: (path, run_id) → set of pkeys that have blocks.
+# Python workers are long-lived, so each worker validates the store once
+# per run instead of once per iteration.
+_MANIFEST_CACHE: dict = {}
+
+
+def _bucket_set(path: str, run_id: str) -> set:
+    key = (path, run_id)
+    got = _MANIFEST_CACHE.get(key)
+    if got is None:
+        mf = _read_manifest(path)
+        if mf is None:
+            raise RuntimeError(
+                f"csr_block store at {path!r} has no readable {_MANIFEST} — "
+                "the block_dir is not visible from this executor (use a "
+                "shared filesystem or an hdfs://-style URI) or the store "
+                "was deleted"
+            )
+        if mf.get("run_id") != run_id:
+            raise RuntimeError(
+                f"csr_block store at {path!r} belongs to a different run "
+                f"(found {mf.get('run_id')!r}, expected {run_id!r}) — stale "
+                "or concurrently-overwritten block store"
+            )
+        got = set(mf["pkeys"])
+        _MANIFEST_CACHE[key] = got
+    return got
 
 
 def _build_csr_blocks(
@@ -498,7 +638,11 @@ def _build_csr_blocks(
         raise ValueError(f"unknown dtype {dtype!r}")
     owns = block_dir is None
     path = block_dir or tempfile.mkdtemp(prefix="ps_pagerank_blocks_")
-    os.makedirs(path, exist_ok=True)
+    _store_mkdirs(path)
+    # a reused dir may hold blocks of a previous (different) graph; stale
+    # files would silently contribute phantom edges — clear, then manifest
+    _clear_store(path)
+    run_id = uuid.uuid4().hex
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         got = list(batches)
@@ -523,11 +667,11 @@ def _build_csr_blocks(
                 sidx = sidx.astype(np.int32)
             starts = np.concatenate(([0], np.flatnonzero(np.diff(t)) + 1))
             files = _block_files(path, int(key))
-            np.save(files["su"], su)
-            np.save(files["sidx"], sidx)
-            np.save(files["w"], ww)
-            np.save(files["dst"], t[starts])
-            np.save(files["starts"], starts)
+            _store_write_npy(files["su"], su)
+            _store_write_npy(files["sidx"], sidx)
+            _store_write_npy(files["w"], ww)
+            _store_write_npy(files["dst"], t[starts])
+            _store_write_npy(files["starts"], starts)
             out_k.append(int(key))
             out_n.append(int(len(s)))
         yield pa.RecordBatch.from_arrays(
@@ -543,12 +687,55 @@ def _build_csr_blocks(
     )
     if not aligned:
         keyed = keyed.repartition(P, "pkey")
-    manifest = keyed.mapInArrow(build, schema="pkey int, n_edges long").collect()
+    rows = keyed.mapInArrow(build, schema="pkey int, n_edges long").collect()
+    n_edges = sum(r["n_edges"] for r in rows)
+    # the manifest makes stale/missing stores fail LOUDLY: readers validate
+    # run_id and only skip pkeys the manifest says have no block
+    _store_write_bytes(
+        os.path.join(path, _MANIFEST),
+        json.dumps(
+            {
+                "version": _STORE_VERSION,
+                "run_id": run_id,
+                "P": P,
+                "dtype": dtype,
+                "n_edges": n_edges,
+                "pkeys": sorted(int(r["pkey"]) for r in rows),
+            }
+        ).encode(),
+    )
     return _BlockStore(
         path=path,
         dtype=dtype,
-        n_edges=sum(r["n_edges"] for r in manifest),
+        n_edges=n_edges,
         owns_dir=owns,
+        run_id=run_id,
+        num_buckets=len(rows),
+    )
+
+
+def _attach_csr_blocks(
+    path: str, P: int, dtype: str, expected_edges: int | None = None
+) -> _BlockStore | None:
+    """Reattach an existing block store (resume path). Returns None unless
+    the manifest exists and matches (version, P, dtype, and — when given —
+    edge count), in which case the store is reused without a rebuild."""
+    mf = _read_manifest(path)
+    if (
+        mf is None
+        or mf.get("version") != _STORE_VERSION
+        or mf.get("P") != P
+        or mf.get("dtype") != dtype
+        or (expected_edges is not None and mf.get("n_edges") != expected_edges)
+    ):
+        return None
+    return _BlockStore(
+        path=path,
+        dtype=dtype,
+        n_edges=mf["n_edges"],
+        owns_dir=False,
+        run_id=mf["run_id"],
+        num_buckets=len(mf["pkeys"]),
     )
 
 
@@ -566,8 +753,17 @@ def _gather_scatter_blocks(
     of how the state is physically partitioned — alignment with the block
     buckets (the default, via hash partitioning) only removes duplicate
     block reads.
+
+    Each task validates the store manifest (cached per worker): a missing
+    or stale store raises instead of silently dropping contributions, and
+    only pkeys the manifest lists as blockless are skipped.
+
+    dtype="float32" halves BOTH sides of the per-iteration byte budget:
+    the rank state crosses JVM→Python as float32 and the block weights are
+    float32, so gather/scatter arithmetic runs at half the memory traffic
+    (partials return as float64 for the exact merge agg).
     """
-    path, dtype = store.path, store.dtype
+    path, dtype, run_id = store.path, store.dtype, store.run_id
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         got = list(batches)
@@ -576,18 +772,19 @@ def _gather_scatter_blocks(
         tbl = pa.Table.from_batches(got)
         if tbl.num_rows == 0:
             return
+        have = _bucket_set(path, run_id)
         pk = tbl.column("pkey").to_numpy()
         vid = tbl.column("vertex_id").to_numpy()
         rank = tbl.column("rank").to_numpy()
         for key in np.unique(pk):
-            files = _block_files(path, int(key))
-            if not os.path.exists(files["su"]):
+            if int(key) not in have:
                 continue  # bucket has vertices but no out-edges
-            su = np.load(files["su"], mmap_mode="r")
-            sidx = np.load(files["sidx"], mmap_mode="r")
-            w = np.load(files["w"], mmap_mode="r")
-            dst = np.load(files["dst"], mmap_mode="r")
-            starts = np.load(files["starts"], mmap_mode="r")
+            files = _block_files(path, int(key))
+            su = _store_read_npy(files["su"])
+            sidx = _store_read_npy(files["sidx"])
+            w = _store_read_npy(files["w"])
+            dst = _store_read_npy(files["dst"])
+            starts = _store_read_npy(files["starts"])
             m = pk == key
             ids, rk = vid[m], rank[m]
             order = np.argsort(ids, kind="stable")
@@ -606,12 +803,38 @@ def _gather_scatter_blocks(
                 names=["vertex_id", "_p"],
             )
 
+    rank_col = (
+        F.col("rank").cast("float") if dtype == "float32" else F.col("rank")
+    )
     partials = state.select(
         F.pmod(F.hash("vertex_id"), F.lit(P)).cast("int").alias("pkey"),
         "vertex_id",
-        "rank",
+        rank_col.alias("rank"),
     ).mapInArrow(gen, schema="vertex_id long, _p double")
     return partials.groupBy("vertex_id").agg(F.sum("_p").alias("_c"))
+
+
+def _alignment_fraction(state: DataFrame, P: int) -> float:
+    """Runtime probe for the csr_block bucket↔task alignment invariant:
+    fraction of state rows whose pmod(hash(vertex_id), P) equals their
+    physical partition id. Alignment is a PERFORMANCE invariant only
+    (correctness is additive-partial by construction) — but if a Spark
+    upgrade ever changes HashPartitioning placement, every task would
+    read ~P blocks instead of 1; this probe makes that degradation loud."""
+    row = (
+        state.select(
+            F.when(
+                F.pmod(F.hash("vertex_id"), F.lit(P)).cast("int")
+                == F.spark_partition_id(),
+                1.0,
+            )
+            .otherwise(0.0)
+            .alias("a")
+        )
+        .agg(F.avg("a").alias("f"))
+        .collect()[0]
+    )
+    return float(row["f"]) if row["f"] is not None else 1.0
 
 
 def _write_checkpoint(catalog, table: str, state: DataFrame, it: int, metrics):
@@ -663,54 +886,23 @@ def _continue(
     state: DataFrame,
     start_iter: int,
     prev_metrics: list,
-    *,
-    vertices: DataFrame | None = None,
-    d: float = D_DEFAULT,
-    eps: float = EPS_DEFAULT,
-    max_iter: int = 1000,
-    fixed_iterations: int | None = None,
-    dangling_mode: str = "none",
-    num_partitions: int | None = None,
-    checkpoint: "object | None" = None,
-    checkpoint_every: int = 0,
-    checkpoint_table: str = "pagerank_ranks",
-    **unknown: object,
+    **kwargs,
 ) -> PageRankResult:
-    """Continuation loop used by resume (join kernel only — checkpointed
-    runs are the production path). Checkpointing continues through the
-    resumed run: a second failure resumes from the latest post-resume
-    snapshot, not from the original one."""
-    if unknown:
-        raise TypeError(
-            f"resume_pagerank: unsupported kwargs for a resumed run: "
-            f"{sorted(unknown)} (kernel/gather options apply to fresh runs)"
-        )
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    verts, n, outdeg, wedges, _ = _prepare(spark, edges, vertices, P)
-    state = state.repartition(P, "vertex_id").localCheckpoint(eager=True)
-    state, it, converged, metrics = _iterate(
-        state,
-        wedges,
-        None,
-        None,
-        n=n,
-        P=P,
-        d=d,
-        eps=eps,
-        max_iter=max_iter,
-        fixed_iterations=fixed_iterations,
-        dangling_mode=dangling_mode,
-        use_bcast=False,
+    """Continuation used by resume — delegates to pagerank() with the
+    checkpointed state, so EVERY kernel/gather/hub option a fresh run
+    accepts also works on a resumed run (a csr_block run resumes as
+    csr_block, reattaching block_dir when its manifest matches).
+    Checkpointing continues through the resumed run: a second failure
+    resumes from the latest post-resume snapshot, not the original one.
+    Genuinely unknown kwargs still fail with TypeError via pagerank()."""
+    return pagerank(
+        spark,
+        edges,
+        start_state=state,
         start_iter=start_iter,
-        metrics=list(prev_metrics),
-        checkpoint=checkpoint,
-        checkpoint_every=checkpoint_every,
-        checkpoint_table=checkpoint_table,
+        prev_metrics=prev_metrics,
+        **kwargs,
     )
-    ranks = state.select("vertex_id", "rank")
-    wedges.unpersist()
-    verts.unpersist()
-    return PageRankResult(ranks=ranks, iterations=it, converged=converged, metrics=metrics)
 
 
 def pagerank_block(

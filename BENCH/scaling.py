@@ -36,12 +36,22 @@ sys.path.insert(0, str(REPO))
 
 N_EDGES = int(os.environ.get("SCALING_EDGES", "32000000"))
 N_VERTS = N_EDGES // 16
-ITERS = 8
+ITERS = int(os.environ.get("SCALING_ITERS", "8"))
 KERNEL = os.environ.get("SCALING_KERNEL", "join")
 # gather="shuffle": the plan that holds at ANY vertex count (the broadcast
 # gather's serial rank-vector build would cap strong scaling and is not
 # what a 1000-executor run would use at 10^12-doc scale)
 GATHER = os.environ.get("SCALING_GATHER", "shuffle")
+# csr_block arithmetic/transfer precision (the reference's opencl-float
+# analog): float32 halves block-read AND state/partial-transfer bytes
+DTYPE = os.environ.get("SCALING_DTYPE", "float64")
+# "strong": same input at every level (classic speedup; on one box the
+# shared memory bus punishes high levels). "weak": input scales with the
+# level (constant work per core, n_edges = SCALING_EDGES * cpus / 4) — the
+# closer analog of the cluster criterion, where a 4N-executor cluster
+# handles 4x the data at the same per-iteration wall; efficiency is then
+# t_N / t_4N.
+MODE = os.environ.get("SCALING_MODE", "strong")
 
 
 def synthetic_edges(spark, n_edges: int, n_verts: int):
@@ -64,6 +74,10 @@ def synthetic_edges(spark, n_edges: int, n_verts: int):
     )
 
 
+def _level_edges(cpus: int) -> int:
+    return N_EDGES * cpus // 4 if MODE == "weak" else N_EDGES
+
+
 def run_level(cpus: int) -> dict:
     from ps_pagerank_spark import get_spark
     from ps_pagerank_spark.operators.pagerank import pagerank
@@ -73,7 +87,8 @@ def run_level(cpus: int) -> dict:
         app_name=f"scaling_{cpus}",
         extra_conf={"spark.sql.shuffle.partitions": str(max(cpus * 2, 8))},
     )
-    edges = synthetic_edges(spark, N_EDGES, N_VERTS).persist()
+    lvl_edges = _level_edges(cpus)
+    edges = synthetic_edges(spark, lvl_edges, lvl_edges // 16).persist()
     n_edges = edges.count()
     res = pagerank(
         spark,
@@ -82,6 +97,7 @@ def run_level(cpus: int) -> dict:
         dangling_mode="redistribute",
         kernel=KERNEL,
         gather=GATHER,
+        dtype=DTYPE,
         num_partitions=max(cpus * 2, 8),
     )
     res.ranks.count()
@@ -134,17 +150,25 @@ def main() -> None:
         results[cpus] = json.loads(line[len("WORKER_JSON:"):])
         print(f"local[{cpus}]: {results[cpus]}", file=sys.stderr)
 
-    # identical converged state across levels (partition-invariance check)
+    # identical converged state across levels (partition-invariance
+    # check; only meaningful in strong mode where inputs are identical)
     sums = {c: r["rank_sum"] for c, r in results.items()}
     out = {
         "kernel": KERNEL,
         "gather": GATHER,
+        "dtype": DTYPE,
+        "mode": MODE,
         "n_edges": results[8]["n_edges"],
         "iters_measured": ITERS - 1,
         "levels": {
             str(c): {
                 k: r[k]
-                for k in ("median_iter_s", "edges_per_sec_per_iter", "iter_seconds")
+                for k in (
+                    "median_iter_s",
+                    "edges_per_sec_per_iter",
+                    "iter_seconds",
+                    "n_edges",
+                )
             }
             for c, r in results.items()
         },
@@ -160,8 +184,19 @@ def main() -> None:
             / 4.0,
             3,
         ),
-        "rank_sum_spread": max(sums.values()) - min(sums.values()),
+        "rank_sum_spread": (
+            max(sums.values()) - min(sums.values()) if MODE == "strong" else None
+        ),
     }
+    if MODE == "weak":
+        # constant per-core work: ideal is equal per-iteration wall at
+        # every level; efficiency = t_N / t_4N
+        out["weak_efficiency_4_to_16"] = round(
+            results[4]["median_iter_s"] / results[16]["median_iter_s"], 3
+        )
+        out["weak_efficiency_8_to_32"] = round(
+            results[8]["median_iter_s"] / results[32]["median_iter_s"], 3
+        )
     print(json.dumps(out))
 
 

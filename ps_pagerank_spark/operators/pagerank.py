@@ -465,6 +465,10 @@ class _BlockStore:
     owns_dir: bool
     run_id: str = ""
     num_buckets: int = 0
+    # dst id bounds (from the build): when they fit int32, per-iteration
+    # partials cross Python→JVM with 4-byte ids
+    min_dst: int = -(2**62)
+    max_dst: int = 2**62
 
 
 _STORE_VERSION = 1
@@ -655,7 +659,7 @@ def _build_csr_blocks(
         src = tbl.column("src_id").to_numpy()
         dst = tbl.column("dst_id").to_numpy()
         w = tbl.column("w").to_numpy().astype(dtype, copy=False)
-        out_k, out_n = [], []
+        out_k, out_n, out_lo, out_hi = [], [], [], []
         for key in np.unique(pk):
             m = pk == key
             s, t, ww = src[m], dst[m], w[m]
@@ -674,9 +678,16 @@ def _build_csr_blocks(
             _store_write_npy(files["starts"], starts)
             out_k.append(int(key))
             out_n.append(int(len(s)))
+            out_lo.append(int(t[0]))  # dst-sorted: [0] is the min
+            out_hi.append(int(t[-1]))
         yield pa.RecordBatch.from_arrays(
-            [pa.array(out_k, type=pa.int32()), pa.array(out_n, type=pa.int64())],
-            names=["pkey", "n_edges"],
+            [
+                pa.array(out_k, type=pa.int32()),
+                pa.array(out_n, type=pa.int64()),
+                pa.array(out_lo, type=pa.int64()),
+                pa.array(out_hi, type=pa.int64()),
+            ],
+            names=["pkey", "n_edges", "min_dst", "max_dst"],
         )
 
     keyed = wedges.select(
@@ -687,8 +698,12 @@ def _build_csr_blocks(
     )
     if not aligned:
         keyed = keyed.repartition(P, "pkey")
-    rows = keyed.mapInArrow(build, schema="pkey int, n_edges long").collect()
+    rows = keyed.mapInArrow(
+        build, schema="pkey int, n_edges long, min_dst long, max_dst long"
+    ).collect()
     n_edges = sum(r["n_edges"] for r in rows)
+    min_dst = min((r["min_dst"] for r in rows), default=0)
+    max_dst = max((r["max_dst"] for r in rows), default=0)
     # the manifest makes stale/missing stores fail LOUDLY: readers validate
     # run_id and only skip pkeys the manifest says have no block
     _store_write_bytes(
@@ -700,6 +715,8 @@ def _build_csr_blocks(
                 "P": P,
                 "dtype": dtype,
                 "n_edges": n_edges,
+                "min_dst": min_dst,
+                "max_dst": max_dst,
                 "pkeys": sorted(int(r["pkey"]) for r in rows),
             }
         ).encode(),
@@ -711,6 +728,8 @@ def _build_csr_blocks(
         owns_dir=owns,
         run_id=run_id,
         num_buckets=len(rows),
+        min_dst=min_dst,
+        max_dst=max_dst,
     )
 
 
@@ -736,6 +755,8 @@ def _attach_csr_blocks(
         owns_dir=False,
         run_id=mf["run_id"],
         num_buckets=len(mf["pkeys"]),
+        min_dst=mf.get("min_dst", -(2**62)),
+        max_dst=mf.get("max_dst", 2**62),
     )
 
 
@@ -764,6 +785,17 @@ def _gather_scatter_blocks(
     (partials return as float64 for the exact merge agg).
     """
     path, dtype, run_id = store.path, store.dtype, store.run_id
+    # Arrow respects element widths (unlike Spark's 8-byte-slot UnsafeRow),
+    # so narrowing the Python→JVM partial stream is a real byte saving:
+    # int32 ids when every dst fits (recorded in the manifest at build
+    # time), float32 values in float32 mode. Spark's Sum over floats still
+    # accumulates in double, so the cross-bucket merge stays exact-ish.
+    use32 = -(2**31) <= store.min_dst and store.max_dst < 2**31
+    f32 = dtype == "float32"
+    id_pa = pa.int32() if use32 else pa.int64()
+    id_np = np.int32 if use32 else np.int64
+    val_pa = pa.float32() if f32 else pa.float64()
+    val_np = np.float32 if f32 else np.float64
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         got = list(batches)
@@ -797,8 +829,8 @@ def _gather_scatter_blocks(
             sums = np.add.reduceat(vals, starts)  # CSR rowPtr scatter
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.asarray(dst), type=pa.int64()),
-                    pa.array(sums.astype(np.float64), type=pa.float64()),
+                    pa.array(np.asarray(dst).astype(id_np, copy=False), type=id_pa),
+                    pa.array(sums.astype(val_np, copy=False), type=val_pa),
                 ],
                 names=["vertex_id", "_p"],
             )
@@ -806,11 +838,21 @@ def _gather_scatter_blocks(
     rank_col = (
         F.col("rank").cast("float") if dtype == "float32" else F.col("rank")
     )
+    schema = (
+        f"vertex_id {'int' if use32 else 'long'}, "
+        f"_p {'float' if f32 else 'double'}"
+    )
     partials = state.select(
         F.pmod(F.hash("vertex_id"), F.lit(P)).cast("int").alias("pkey"),
         "vertex_id",
         rank_col.alias("rank"),
-    ).mapInArrow(gen, schema="vertex_id long, _p double")
+    ).mapInArrow(gen, schema=schema)
+    # widen BEFORE the groupBy so the agg's partitioning is on the long
+    # key — the update join then reuses the exchange instead of adding one
+    partials = partials.select(
+        F.col("vertex_id").cast("long").alias("vertex_id"),
+        F.col("_p").cast("double").alias("_p"),
+    )
     return partials.groupBy("vertex_id").agg(F.sum("_p").alias("_c"))
 
 

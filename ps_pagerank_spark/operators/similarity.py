@@ -266,6 +266,12 @@ def embedding_neardup_pairs(
         (more tables / fewer planes → higher recall, bigger buckets).
       * "auto"  — brute iff the corpus has ≤ brute_max_rows rows (one
         count), else lsh — the 100 TB default never goes quadratic.
+
+    Return contract under "auto": above brute_max_rows the result is the
+    LSH candidate set (recall < 1, tunable via n_planes/n_tables), not the
+    exact pair set — callers needing exactness at any size must pass
+    method="brute" explicitly and accept the O(n²) cost. Explicit methods
+    skip the auto count() probe.
     """
     if method not in ("auto", "brute", "lsh"):
         raise ValueError(f"unknown method {method!r}")

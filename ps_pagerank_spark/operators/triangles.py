@@ -62,15 +62,34 @@ def triangle_counts(
         .agg(F.count("*").alias("deg"))
     )
     # total order (degree, id) packed into one long: ord = deg·2^32 + id
-    # (ids are dictionary-dense < 2^32 — see module docstring)
-    da = deg.select(
-        F.col("x").alias("a"),
-        (F.shiftleft(F.col("deg").cast("long"), 32) + F.col("x")).alias("ord_a"),
-    )
-    db = deg.select(
-        F.col("x").alias("b"),
-        (F.shiftleft(F.col("deg").cast("long"), 32) + F.col("x")).alias("ord_b"),
-    )
+    # (ids are dictionary-dense < 2^32 — see module docstring). The packing
+    # precondition (0 ≤ id < 2^32, deg < 2^31) is enforced IN the plan:
+    # raise_error fires on the first violating row instead of silently
+    # returning wrong counts for non-dictionary-encoded inputs; the branch
+    # is a per-row comparison, no extra Spark job.
+    def _ord(id_col: str) -> F.Column:
+        ok = (
+            (F.col(id_col) >= 0)
+            & (F.col(id_col) < F.lit(2**32))
+            & (F.col("deg") < F.lit(2**31))
+        )
+        packed = F.shiftleft(F.col("deg").cast("long"), 32) + F.col(id_col)
+        return F.when(ok, packed).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "triangle_counts requires dictionary-dense ids "
+                        "(0 <= id < 2^32) and degree < 2^31; got id="
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(" deg="),
+                    F.col("deg").cast("string"),
+                )
+            ).cast("long")
+        )
+
+    da = deg.select(F.col("x").alias("a"), _ord("x").alias("ord_a"))
+    db = deg.select(F.col("x").alias("b"), _ord("x").alias("ord_b"))
     lower_first = F.col("ord_a") < F.col("ord_b")
     oriented = (
         und.join(da, "a")

@@ -60,12 +60,31 @@ class Catalog:
 
     # -- write -------------------------------------------------------------
     def _write_snapshot(
-        self, table: str, df: DataFrame, mode: str, props: dict | None
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str,
+        props: dict | None,
+        partition_by: list[str] | None = None,
     ) -> int:
         meta = self._load_meta(table)
+        existing_part = meta.get("partition_by")
+        if meta["snapshots"]:
+            if partition_by is not None and partition_by != existing_part:
+                raise ValueError(
+                    f"table {table!r} is partitioned by {existing_part}; "
+                    f"got {partition_by} — partition spec is immutable"
+                )
+            partition_by = existing_part
         snap_id = (meta["snapshots"][-1]["id"] + 1) if meta["snapshots"] else 1
         data_dir = self.root / table / f"snap-{snap_id:06d}"
-        df.write.mode("overwrite").parquet(str(data_dir))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # hive-style layout: filters on the partition columns prune
+            # whole directories at read time (PartitionFilters), the
+            # Iceberg partition-spec analog
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
         prev_dirs = []
         if mode == "append" and meta["current"] is not None:
             prev_dirs = self._snapshot(meta, meta["current"])["data_dirs"]
@@ -77,14 +96,28 @@ class Catalog:
             }
         )
         meta["current"] = snap_id
+        if partition_by:
+            meta["partition_by"] = partition_by
         self._store_meta(table, meta)
         return snap_id
 
-    def overwrite(self, table: str, df: DataFrame, props: dict | None = None) -> int:
-        return self._write_snapshot(table, df, "overwrite", props)
+    def overwrite(
+        self,
+        table: str,
+        df: DataFrame,
+        props: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        return self._write_snapshot(table, df, "overwrite", props, partition_by)
 
-    def append(self, table: str, df: DataFrame, props: dict | None = None) -> int:
-        return self._write_snapshot(table, df, "append", props)
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        props: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        return self._write_snapshot(table, df, "append", props, partition_by)
 
     # -- read --------------------------------------------------------------
     @staticmethod
@@ -105,6 +138,15 @@ class Catalog:
         dirs = [
             str(self.root / table / d) for d in self._snapshot(meta, sid)["data_dirs"]
         ]
+        if meta.get("partition_by") and len(dirs) > 1:
+            # each snapshot dir is its own hive-partitioned root; reading
+            # them separately keeps per-dir partition discovery (and thus
+            # directory pruning), and Catalyst pushes filters through the
+            # union into every child scan
+            out = spark.read.parquet(dirs[0])
+            for d in dirs[1:]:
+                out = out.unionByName(spark.read.parquet(d))
+            return out
         return spark.read.parquet(*dirs)
 
     def latest_snapshot(self, table: str) -> dict | None:

@@ -8,6 +8,7 @@ deterministic and the test is hermetic.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -163,10 +164,23 @@ def test_bucketed_antijoin_prunes_scan(spark, dirs):
     assert "PartitionFilters" in plan and "_bucket" in plan.split(
         "PartitionFilters", 1
     )[1][:200]
-    files = probe.inputFiles()
-    assert files and all(f"_bucket={one}/" in f for f in files)
-    # and the unfiltered table has MORE bucket dirs than the probe reads
-    assert len(edges.inputFiles()) > len(files)
+    # behavioral proof of directory pruning (inputFiles() ignores filters):
+    # poison a DIFFERENT bucket's dir with a corrupt parquet file — the
+    # pruned probe never opens it, while an unpruned full scan fails
+    others = sorted(buckets)[1:]
+    if others:
+        victim = next(
+            f for f in edges.inputFiles() if f"_bucket={others[-1]}/" in f
+        )
+        poison = os.path.join(
+            os.path.dirname(victim.replace("file:", "")), "zzz-poison.parquet"
+        )
+        with open(poison, "wb") as fh:
+            fh.write(b"not a parquet file")
+        assert probe.count() > 0  # pruned scan: poison dir never read
+        with pytest.raises(Exception):
+            cat.read(spark, "edges").count()  # full scan hits the poison
+        os.remove(poison)
 
 
 def test_fresh_checkpoint_batch_not_dropped(spark, dirs, tmp_path):

@@ -196,6 +196,27 @@ def run_edge_ingest(
     return writer.start()
 
 
+def compact_edges(
+    spark: SparkSession, catalog: Catalog, *, table: str = EDGES_TABLE
+) -> int:
+    """Fold the accumulated per-batch files into ONE snapshot (the LSM
+    compaction step): every append writes ≤ edge_buckets small files, so
+    after many micro-batches the table is file-count-bound. Readers never
+    observe a partial state — catalog.overwrite is an atomic manifest
+    swap, and the partition layout (and thus anti-join pruning) is
+    preserved. Returns the new snapshot id; props carry the exactly-once
+    stream markers forward so replay detection survives compaction."""
+    last = catalog.latest_snapshot(table)
+    if last is None:
+        raise KeyError(f"table {table!r} has no snapshots to compact")
+    df = catalog.read(spark, table)
+    part = catalog._load_meta(table).get("partition_by")
+    if part:
+        # one file per partition dir: coalesce rows of each bucket
+        df = df.repartition(*[F.col(c) for c in part])
+    return catalog.overwrite(table, df, props=dict(last["props"]))
+
+
 def page_stats_stream(
     pages: DataFrame,
     *,

@@ -183,6 +183,37 @@ def test_bucketed_antijoin_prunes_scan(spark, dirs):
         os.remove(poison)
 
 
+def test_compact_edges_preserves_set_and_pruning(spark, dirs):
+    from ps_pagerank_spark.streaming.ingest import compact_edges
+
+    cat = Catalog(dirs["catalog"])
+    _write_pages(spark, [(0, 1), (1, 2), (2, 0)], dirs["landing"])
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"],
+                    edge_buckets=8)
+    _write_pages(spark, [(3, 0), (3, 4)], dirs["landing"],
+                 only_vertices=[3, 4])
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"],
+                    edge_buckets=8)
+    before = {(r["src_id"], r["dst_id"])
+              for r in cat.read(spark, "edges").collect()}
+    props_before = dict(cat.latest_snapshot("edges")["props"])
+    assert len(cat.latest_snapshot("edges")["data_dirs"]) == 2
+
+    compact_edges(spark, cat)
+    snap = cat.latest_snapshot("edges")
+    assert len(snap["data_dirs"]) == 1  # folded into one snapshot dir
+    assert snap["props"] == props_before  # replay markers survive
+    after = cat.read(spark, "edges")
+    assert {(r["src_id"], r["dst_id"]) for r in after.collect()} == before
+    # partition layout (and thus anti-join pruning) preserved
+    one = after.select("_bucket").first()["_bucket"]
+    plan = (
+        after.filter(F.col("_bucket") == one)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+
+
 def test_fresh_checkpoint_batch_not_dropped(spark, dirs, tmp_path):
     """Batch ids restart at 0 under a fresh checkpoint dir; the
     exactly-once guard is scoped by checkpoint location, so a genuinely

@@ -235,11 +235,17 @@ def minhash_lsh_pairs(
     Bands of r = k/bands rows; band key = joined sig slice. Candidates =
     docs sharing ≥1 band bucket; est. Jaccard = fraction of agreeing
     signature components. Output (doc_a, doc_b, est_jaccard_u ≥ threshold).
+
+    **Eager**: the result (tiny — near-dup pairs only) is materialized via
+    ``localCheckpoint`` before returning so the persisted signature table
+    can be unpersisted inside this call. The previous lazy version leaked
+    one cached DataFrame per invocation (and made repeated benchmark reps
+    hit the leaked cache instead of doing real work).
     """
     r = k // bands
-    # persist: the LSH self-join consumes the signature table twice (side a
-    # and side b) — without this the shingle/md5/agg chain runs twice.
-    # Small (k longs per doc); LRU-evicted when dropped.
+    # persist: the LSH self-join consumes the signature table four times
+    # (band sides a/b + the two re-attach joins) — without this the
+    # shingle/md5/agg chain runs 4×. Released before return (see above).
     sigs = minhash_signatures(docs, k=k, n=n, text_col=text_col).persist()
     band_arr = F.array(
         *[
@@ -284,9 +290,15 @@ def minhash_lsh_pairs(
             / F.lit(float(k))
         ).alias("est"),
     )
-    return est.filter(F.col("est") >= threshold).select(
+    out = est.filter(F.col("est") >= threshold).select(
         "doc_a", "doc_b", micros(F.col("est")).alias("est_jaccard_u")
     )
+    try:
+        # computes now; truncated lineage no longer references `sigs`, so
+        # the cache can be dropped without re-triggering the md5 chain
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
 
 
 def minhash_lsh_pairs_sql(
@@ -332,24 +344,38 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash long): 60-bit fingerprint — bit i set iff the sum
     of ±1 votes of token-hash bit i over all tokens is positive.
 
-    Built as one Spark-SQL expression (still whole-stage codegen): the
-    PySpark shiftleft/shiftright wrappers take int shift amounts, but the
-    SQL functions accept the lambda-bound bit index column.
-    """
-    from ps_pagerank_spark.functions.text import TOKEN_RE
+    Physical shape: explode tokens → ONE md5 per (doc, token) row → 60
+    conditional-SUM aggregates with map-side partials → sign+pack per doc.
+    (The previous nested ``aggregate(sequence(0,59), … aggregate(
+    transform(tokens…)))`` expression re-evaluated the whole
+    regexp+md5 token-hash chain once per bit — Catalyst does not hoist
+    loop-invariant subtrees out of higher-order-function lambdas, so the
+    single-expression form costs ~60× per document. Same fix as
+    `minhash_signatures`; A/B measured in BENCH/BASELINE.md.)
 
-    h64 = (
-        "CAST(conv(substring(md5(encode(x, 'UTF-8')), 1, 15), 16, 10)"
-        " AS BIGINT)"
+    ``explode_outer`` keeps zero-token docs: their single null row makes
+    every vote-sum null, so every bit takes the ``otherwise(0)`` branch
+    and the fingerprint is 0 — identical to the old empty-fold semantics
+    and the DuckDB twin's ``COALESCE(list_sum(…), 0)``.
+    """
+    th = docs.select(
+        "doc_id", F.explode_outer(tokens(F.col(text_col))).alias("_t")
+    ).select("doc_id", hash64(F.col("_t")).alias("_h"))
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    packed = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(
+            F.col(f"_s{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed + bit
+    return (
+        th.groupBy("doc_id").agg(*aggs).select("doc_id", packed.alias("simhash"))
     )
-    th = f"transform(regexp_extract_all({text_col}, '{TOKEN_RE}', 0), x -> {h64})"
-    sh = f"""aggregate(
-      sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT),
-      (acc, i) -> acc + CASE WHEN
-          aggregate({th}, CAST(0 AS BIGINT),
-                    (a, h) -> a + (shiftright(h, i) & 1) * 2 - 1) > 0
-        THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"""
-    return docs.select("doc_id", F.expr(sh).alias("simhash"))
 
 
 def simhash_sql(docs_sql: str) -> str:

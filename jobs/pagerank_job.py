@@ -25,7 +25,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main() -> None:
+def main(argv: list[str] | None = None, spark=None) -> None:
+    """CLI entrypoint. ``argv``/``spark`` are injectable so tests can drive
+    the exact CLI dispatch path against a shared session (a passed-in
+    session is not stopped)."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="pages table path (parquet/Iceberg-style)")
     ap.add_argument("--edges", help="pre-built edges parquet (skip extraction)")
@@ -41,10 +44,26 @@ def main() -> None:
         "--gather", choices=["auto", "shuffle", "broadcast"], default="auto"
     )
     ap.add_argument("--hub-threshold", type=int, default=None)
+    ap.add_argument(
+        "--block-dir",
+        default=None,
+        help="csr_block store directory (executor-visible path or "
+        "pyarrow.fs URI); a resumed csr_block run reattaches it when the "
+        "manifest matches instead of rebuilding",
+    )
+    ap.add_argument("--dtype", choices=["float64", "float32"], default="float64")
+    ap.add_argument(
+        "--num-partitions",
+        type=int,
+        default=None,
+        help="iteration-loop partition count P (default: "
+        "spark.sql.shuffle.partitions); a resumed csr_block run must use "
+        "the P its block store was built with",
+    )
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--run-id", default="pagerank")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     if not args.pages and not args.edges:
         ap.error("one of --pages / --edges is required")
 
@@ -59,7 +78,9 @@ def main() -> None:
     from ps_pagerank_spark.plans.catalog import Catalog
     from ps_pagerank_spark.plans.metrics import append_metrics, partition_lineage
 
-    spark = get_spark(app_name="pagerank_job")
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark(app_name="pagerank_job")
     cat = Catalog(args.catalog)
 
     if args.edges:
@@ -80,11 +101,16 @@ def main() -> None:
         kernel=args.kernel,
         gather=args.gather,
         hub_threshold=args.hub_threshold,
+        block_dir=args.block_dir,
+        dtype=args.dtype,
+        num_partitions=args.num_partitions,
         checkpoint=cat if args.checkpoint_every else None,
         checkpoint_every=args.checkpoint_every,
     )
     if args.resume:
-        kwargs.pop("kernel"), kwargs.pop("gather"), kwargs.pop("hub_threshold")
+        # every kernel option passes through: a --kernel csr_block job
+        # resumes as csr_block and reattaches --block-dir when the store
+        # manifest matches (pagerank.resume_pagerank → pagerank())
         res = resume_pagerank(spark, edges, cat, **kwargs)
     else:
         res = pagerank(spark, edges, **kwargs)
@@ -105,7 +131,8 @@ def main() -> None:
         f"done: snapshot={snap} iterations={res.iterations} "
         f"converged={res.converged}"
     )
-    spark.stop()
+    if owns_spark:
+        spark.stop()
 
 
 if __name__ == "__main__":

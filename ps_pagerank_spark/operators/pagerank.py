@@ -110,7 +110,46 @@ def _split_hubs(wedges: DataFrame, outdeg: DataFrame, hub_threshold: int):
     return w_rest, (w_hub, hubs)
 
 
-def pagerank(
+def pagerank(spark: SparkSession, edges: DataFrame, **kwargs) -> PageRankResult:
+    """Run PageRank over edges(src_id, dst_id) — see _pagerank_impl for the
+    full parameter list and semantics (this wrapper forwards everything;
+    unknown kwargs still raise TypeError).
+
+    Two session confs are pinned for the duration of the run (and restored
+    after, even on failure):
+
+      * ``spark.sql.shuffle.partitions = P`` — the contribs aggregation
+        then lands on hash(dst_id, P), the same partitioning the rank
+        state carries, so the per-iteration update join streams BOTH sides
+        with no re-exchange of the rank vector. With a mismatched conf the
+        planner inserts an extra full Exchange of (vertex_id, rank) every
+        iteration (plan-asserted in tests/test_partitioning.py).
+      * ``spark.sql.adaptive.enabled = false`` — AQE wraps each
+        iteration's FIXED-shape query in query stages and re-exchanges the
+        localCheckpoint'd state (its LogicalRDD partitioning no longer
+        satisfies the join requirement under AQE), adding two rank-vector
+        shuffles per iteration that the static planner proves unnecessary.
+        The loop needs none of AQE's strengths: its plan is identical
+        every iteration and skew is handled explicitly (hub split +
+        salting). Everything outside pagerank() keeps AQE on.
+    """
+    prev = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+    }
+    P = kwargs.get("num_partitions") or int(
+        prev["spark.sql.shuffle.partitions"]
+    )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(P))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return _pagerank_impl(spark, edges, **kwargs)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def _pagerank_impl(
     spark: SparkSession,
     edges: DataFrame,
     *,
@@ -194,7 +233,18 @@ def pagerank(
         .repartition(P, "dst_id" if use_bcast else "src_id")
         .persist()
     )
-    n_edges = wedges.count()  # materialize once; iterations reuse the blocks
+    # materialize once (iterations reuse the persisted blocks); the same
+    # scan also computes a content fingerprint — bit_xor of per-edge
+    # xxhash64 is order-insensitive and ANSI-overflow-safe — so a resumed
+    # csr_block run whose edges CHANGED but kept the same edge count can't
+    # silently reattach a stale block store
+    estats = wedges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src_id", "dst_id")), F.lit(0)).alias(
+            "fp"
+        ),
+    ).collect()[0]
+    n_edges, edges_fp = int(estats["n"]), int(estats["fp"])
     if start_state is not None:
         # resume: the checkpointed vector already carries the dangling flag;
         # _iterate reseeds the redistribute mass from Σ rank over dangling
@@ -243,15 +293,19 @@ def pagerank(
         t0 = time.perf_counter()
         if start_state is not None and block_dir is not None:
             # resume fast path: reattach the prior run's store if its
-            # manifest matches this graph
-            store = _attach_csr_blocks(block_dir, P, dtype, n_edges)
+            # manifest matches this graph (count AND content fingerprint)
+            store = _attach_csr_blocks(
+                block_dir, P, dtype, n_edges, fingerprint=edges_fp
+            )
         if store is None:
             # wedges was persisted with repartition(P, "src_id") above, so
             # each physical partition IS one pkey bucket — no bucket shuffle
-            store = _build_csr_blocks(wedges, P, block_dir, dtype, aligned=True)
+            store = _build_csr_blocks(
+                wedges, P, block_dir, dtype, aligned=True, fingerprint=edges_fp
+            )
         t_blocks = time.perf_counter() - t0
-        align_frac = _alignment_fraction(state, P)
-        if align_frac < 1.0:
+        align_frac = _alignment_fraction(state, P, n=n)
+        if align_frac is not None and align_frac < 1.0:
             warnings.warn(
                 f"csr_block state/bucket alignment broken: only "
                 f"{align_frac:.2%} of state rows sit in their pkey's "
@@ -615,6 +669,7 @@ def _build_csr_blocks(
     block_dir: str | None,
     dtype: str,
     aligned: bool = False,
+    fingerprint: int | None = None,
 ) -> _BlockStore:
     """One-time edge "upload" (S5 analog — clEnqueueWriteBuffer of the CSR
     arrays, opencl/pagerank.c:456-478): bucket edges by
@@ -715,6 +770,7 @@ def _build_csr_blocks(
                 "P": P,
                 "dtype": dtype,
                 "n_edges": n_edges,
+                "edges_fp": fingerprint,
                 "min_dst": min_dst,
                 "max_dst": max_dst,
                 "pkeys": sorted(int(r["pkey"]) for r in rows),
@@ -734,11 +790,18 @@ def _build_csr_blocks(
 
 
 def _attach_csr_blocks(
-    path: str, P: int, dtype: str, expected_edges: int | None = None
+    path: str,
+    P: int,
+    dtype: str,
+    expected_edges: int | None = None,
+    fingerprint: int | None = None,
 ) -> _BlockStore | None:
     """Reattach an existing block store (resume path). Returns None unless
     the manifest exists and matches (version, P, dtype, and — when given —
-    edge count), in which case the store is reused without a rebuild."""
+    edge count and content fingerprint), in which case the store is reused
+    without a rebuild. The fingerprint closes the same-count-different-
+    edges hole: a resumed run over a CHANGED graph that coincidentally
+    kept n_edges must rebuild, never silently reuse stale blocks."""
     mf = _read_manifest(path)
     if (
         mf is None
@@ -746,6 +809,7 @@ def _attach_csr_blocks(
         or mf.get("P") != P
         or mf.get("dtype") != dtype
         or (expected_edges is not None and mf.get("n_edges") != expected_edges)
+        or (fingerprint is not None and mf.get("edges_fp") != fingerprint)
     ):
         return None
     return _BlockStore(
@@ -856,15 +920,38 @@ def _gather_scatter_blocks(
     return partials.groupBy("vertex_id").agg(F.sum("_p").alias("_c"))
 
 
-def _alignment_fraction(state: DataFrame, P: int) -> float:
+def _alignment_fraction(
+    state: DataFrame, P: int, n: int | None = None, mode: str | None = None
+) -> float | None:
     """Runtime probe for the csr_block bucket↔task alignment invariant:
     fraction of state rows whose pmod(hash(vertex_id), P) equals their
     physical partition id. Alignment is a PERFORMANCE invariant only
     (correctness is additive-partial by construction) — but if a Spark
     upgrade ever changes HashPartitioning placement, every task would
-    read ~P blocks instead of 1; this probe makes that degradation loud."""
+    read ~P blocks instead of 1; this probe makes that degradation loud.
+
+    Probe cost control (PS_PAGERANK_ALIGN_PROBE env or ``mode``):
+      * "sample" (default) — above 200k vertices, a pushed-down filter
+        samples ~64k rows (salted xxhash64, independent of the murmur
+        partitioning hash, so the sample is placement-unbiased). A
+        placement change misplaces whole partitions, so a sampled
+        fraction detects it as reliably as the full scan.
+      * "full" — exact fraction over every row.
+      * "off"  — skip the probe job entirely (returns None).
+    The filter must NOT move rows (no limit/repartition): sampling is a
+    predicate evaluated in place, keeping spark_partition_id meaningful.
+    """
+    mode = mode or os.environ.get("PS_PAGERANK_ALIGN_PROBE", "sample")
+    if mode == "off":
+        return None
+    probe = state
+    if mode == "sample" and n is not None and n > 200_000:
+        m = max(1, n // 65_536)
+        probe = state.filter(
+            F.pmod(F.xxhash64("vertex_id", F.lit(17)), F.lit(m)) == 0
+        )
     row = (
-        state.select(
+        probe.select(
             F.when(
                 F.pmod(F.hash("vertex_id"), F.lit(P)).cast("int")
                 == F.spark_partition_id(),

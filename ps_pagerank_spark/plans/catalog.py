@@ -26,9 +26,11 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 class Catalog:
@@ -71,11 +73,16 @@ class Catalog:
         existing_part = meta.get("partition_by")
         if meta["snapshots"]:
             if partition_by is not None and partition_by != existing_part:
-                raise ValueError(
-                    f"table {table!r} is partitioned by {existing_part}; "
-                    f"got {partition_by} — partition spec is immutable"
-                )
-            partition_by = existing_part
+                if mode != "overwrite":
+                    raise ValueError(
+                        f"table {table!r} is partitioned by {existing_part}; "
+                        f"got {partition_by} — appends cannot change the "
+                        "partition spec (overwrite can: spec evolution)"
+                    )
+                # overwrite replaces every data dir, so a new spec is safe —
+                # the Iceberg partition-spec-evolution analog
+            else:
+                partition_by = existing_part
         snap_id = (meta["snapshots"][-1]["id"] + 1) if meta["snapshots"] else 1
         data_dir = self.root / table / f"snap-{snap_id:06d}"
         writer = df.write.mode("overwrite")
@@ -85,19 +92,28 @@ class Catalog:
             # Iceberg partition-spec analog
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(data_dir))
+        # dynamic partitionBy of an EMPTY DataFrame writes zero parquet
+        # files (unlike the unpartitioned path, which writes one
+        # schema-bearing empty file); including such a dir in the manifest
+        # would make every later read fail schema inference. Record the
+        # snapshot (props drive exactly-once replay detection) but not the
+        # fileless dir; the schema stored below keeps empty tables readable.
+        has_data = any(data_dir.rglob("*.parquet"))
+        if not has_data:
+            shutil.rmtree(data_dir, ignore_errors=True)
         prev_dirs = []
         if mode == "append" and meta["current"] is not None:
             prev_dirs = self._snapshot(meta, meta["current"])["data_dirs"]
         meta["snapshots"].append(
             {
                 "id": snap_id,
-                "data_dirs": prev_dirs + [data_dir.name],
+                "data_dirs": prev_dirs + ([data_dir.name] if has_data else []),
                 "props": props or {},
+                "schema": df.schema.jsonValue(),
             }
         )
         meta["current"] = snap_id
-        if partition_by:
-            meta["partition_by"] = partition_by
+        meta["partition_by"] = partition_by
         self._store_meta(table, meta)
         return snap_id
 
@@ -135,9 +151,22 @@ class Catalog:
         sid = snapshot_id if snapshot_id is not None else meta["current"]
         if sid is None:
             raise KeyError(f"table {table!r} has no snapshots")
+        snap = self._snapshot(meta, sid)
         dirs = [
-            str(self.root / table / d) for d in self._snapshot(meta, sid)["data_dirs"]
+            str(self.root / table / d)
+            for d in snap["data_dirs"]
+            # defensive vs legacy metadata: a dir with zero parquet files
+            # (pre-fix empty partitioned append) would fail schema inference
+            if any((self.root / table / d).rglob("*.parquet"))
         ]
+        if not dirs:
+            schema = snap.get("schema")
+            if schema is None:
+                raise KeyError(
+                    f"table {table!r} snapshot {sid} has no data files and "
+                    "no recorded schema"
+                )
+            return spark.createDataFrame([], StructType.fromJson(schema))
         if meta.get("partition_by") and len(dirs) > 1:
             # each snapshot dir is its own hive-partitioned root; reading
             # them separately keeps per-dir partition discovery (and thus

@@ -57,14 +57,34 @@ def stream_links(pages: DataFrame) -> DataFrame:
     return extract_links(pages)
 
 
-def _extend_dictionary(
-    spark: SparkSession, catalog: Catalog, links: DataFrame
-) -> DataFrame:
-    """Add unseen urls to the vertices table; return the full dictionary.
+def _url_bucket(col: str, buckets: int):
+    return F.pmod(F.hash(col), F.lit(buckets)).cast("int")
 
-    New ids start at current max+1, assigned by url order within the batch
-    (deterministic given batch content). Existing assignments are
-    immutable — downstream edge ids never need re-encoding.
+
+def _extend_dictionary(
+    spark: SparkSession, catalog: Catalog, links: DataFrame,
+    *, url_buckets: int = 64,
+) -> DataFrame:
+    """Add unseen urls to the vertices table; return a dictionary slice
+    sufficient to encode THIS batch (every batch url is covered).
+
+    New ids continue from ``next_vertex_id`` carried in the snapshot
+    props, assigned by url order within the batch (deterministic given
+    batch content). Existing assignments are immutable — downstream edge
+    ids never need re-encoding.
+
+    Scale shape (mirrors the edges-table fix): the vertices table is
+    hive-partitioned by ``_bucket = pmod(hash(url), url_buckets)``; the
+    per-batch unseen-url anti-join AND the dictionary slice handed to
+    ``encode_edges`` filter to the buckets the batch touches, which
+    becomes a PartitionFilter on every snapshot scan — the probe reads
+    O(touched buckets / url_buckets) of the accumulated dictionary, not
+    all of it. ``next_vertex_id`` in props replaces the per-batch
+    ``max(vertex_id)`` full-table aggregation. A legacy table created
+    before bucketing (no ``partition_by`` in its meta) falls back to the
+    full-table probe and unpartitioned appends — and still gets
+    ``next_vertex_id`` recorded, so only its first post-upgrade batch
+    pays the max() agg.
 
     Id assignment is the zip-style prefix encoding shared with batch
     ``encode_vertices`` (operators/graph.zip_index) — partition-local
@@ -78,20 +98,56 @@ def _extend_dictionary(
         .union(links.select(F.col("dst_url").alias("url")))
         .distinct()
     )
-    if catalog.latest_snapshot(VERTICES_TABLE) is None:
-        existing = spark.createDataFrame([], "vertex_id long, url string")
-        base_id = -1
-    else:
-        existing = catalog.read(spark, VERTICES_TABLE)
-        base_id = existing.agg(F.max("vertex_id")).collect()[0][0]
-        if base_id is None:
-            base_id = -1
+    last = catalog.latest_snapshot(VERTICES_TABLE)
+    if last is None:
+        new_vertices = zip_index(batch_urls, base_id=0).withColumn(
+            "_bucket", _url_bucket("url", url_buckets)
+        )
+        n_new = new_vertices.count()
+        catalog.append(
+            VERTICES_TABLE,
+            new_vertices,
+            props={"next_vertex_id": n_new},
+            partition_by=["_bucket"],
+        )
+        return new_vertices.select("vertex_id", "url")
+
+    part = catalog._load_meta(VERTICES_TABLE).get("partition_by")
+    existing = catalog.read(spark, VERTICES_TABLE)
+    next_id = last["props"].get("next_vertex_id")
+    if next_id is None:
+        # legacy table without the props marker: one max() agg now, then
+        # our append records next_vertex_id and later batches skip this
+        m = existing.agg(F.max("vertex_id")).collect()[0][0]
+        next_id = int(m) + 1 if m is not None else 0
+    if part:
+        batch_urls = batch_urls.withColumn(
+            "_bucket", _url_bucket("url", url_buckets)
+        )
+        touched = [
+            r["_bucket"]
+            for r in batch_urls.select("_bucket").distinct().collect()
+        ]
+        # PartitionFilter: untouched bucket dirs are never read — this
+        # prunes both the unseen-url probe and the encode join's build side
+        existing = existing.filter(F.col("_bucket").isin(touched))
     new_urls = batch_urls.join(existing.select("url"), "url", "left_anti")
-    new_vertices = zip_index(new_urls, base_id=int(base_id) + 1)
-    if new_vertices.isEmpty():
-        return existing
-    catalog.append(VERTICES_TABLE, new_vertices)
-    return catalog.read(spark, VERTICES_TABLE)
+    new_vertices = zip_index(new_urls.select("url"), base_id=int(next_id))
+    n_new = new_vertices.count()
+    dictionary = existing.select("vertex_id", "url")
+    if n_new == 0:
+        return dictionary
+    if part:
+        new_vertices = new_vertices.withColumn(
+            "_bucket", _url_bucket("url", url_buckets)
+        )
+    catalog.append(
+        VERTICES_TABLE,
+        new_vertices,
+        props={"next_vertex_id": int(next_id) + n_new},
+        partition_by=part,
+    )
+    return dictionary.unionByName(new_vertices.select("vertex_id", "url"))
 
 
 def run_edge_ingest(
@@ -103,6 +159,8 @@ def run_edge_ingest(
     available_now: bool = True,
     max_files_per_trigger: int = 16,
     edge_buckets: int = 64,
+    url_buckets: int = 64,
+    compact_after: int | None = 32,
 ):
     """Start (and for available_now=True, run to completion) the ingest
     stream: pages → links → incremental dictionary → edges appends.
@@ -131,6 +189,19 @@ def run_edge_ingest(
     default 64 suits tests) most of a 10^11-edge table never gets read.
     Each append writes ≤ edge_buckets files; compaction
     (catalog.overwrite of the same partitioned layout) folds small files.
+
+    Tables created before the bucket layouts existed (no ``partition_by``
+    in their catalog meta) keep working: the sink falls back to the
+    full-table anti-join and unpartitioned appends for that table. Run
+    ``migrate_edges_layout`` once to rewrite a legacy table into the
+    bucketed layout.
+
+    Compaction is automatic: Catalog.read unions one scan per appended
+    snapshot dir, so an uncompacted table's read plan grows one scan per
+    micro-batch. When a table's current snapshot accumulates more than
+    ``compact_after`` data dirs, the sink folds it back to ONE dir
+    (O(table) work every compact_after batches = amortized O(table /
+    compact_after) per batch — the standard LSM trade). ``None`` disables.
     """
     links = stream_links(stream_pages(spark, landing_dir,
                                       max_files_per_trigger=max_files_per_trigger))
@@ -145,30 +216,47 @@ def run_edge_ingest(
             return  # replay of a committed batch — idempotent skip
         from ps_pagerank_spark.operators.graph import encode_edges
 
+        # legacy = edges table written before the bucket layout: probe the
+        # whole table and append unpartitioned (migrate_edges_layout
+        # upgrades it in one shot)
+        legacy = (
+            last is not None
+            and not catalog._load_meta(EDGES_TABLE).get("partition_by")
+        )
         batch_links = normalize_links(batch_df).persist()
         batch_edges = None
         try:
-            vertices = _extend_dictionary(spark, catalog, batch_links)
-            batch_edges = encode_edges(batch_links, vertices).withColumn(
-                "_bucket",
-                F.pmod(F.hash("src_id"), F.lit(edge_buckets)).cast("int"),
-            ).persist()
+            vertices = _extend_dictionary(
+                spark, catalog, batch_links, url_buckets=url_buckets
+            )
+            batch_edges = encode_edges(batch_links, vertices)
+            if not legacy:
+                batch_edges = batch_edges.withColumn(
+                    "_bucket",
+                    F.pmod(F.hash("src_id"), F.lit(edge_buckets)).cast("int"),
+                )
+            batch_edges = batch_edges.persist()
             edges = batch_edges
             if last is not None:
-                # buckets this batch touches (≤ edge_buckets tiny ints);
-                # the isin filter becomes a PartitionFilter on the
-                # bucket-partitioned table — untouched dirs never read
-                touched = [
-                    r["_bucket"]
-                    for r in batch_edges.select("_bucket").distinct().collect()
-                ]
-                existing = (
-                    catalog.read(spark, EDGES_TABLE)
-                    .filter(F.col("_bucket").isin(touched))
-                    .select("src_id", "dst_id")
-                )
+                existing = catalog.read(spark, EDGES_TABLE)
+                if not legacy:
+                    # buckets this batch touches (≤ edge_buckets tiny
+                    # ints); the isin filter becomes a PartitionFilter on
+                    # the bucket-partitioned table — untouched dirs never
+                    # read
+                    touched = [
+                        r["_bucket"]
+                        for r in batch_edges.select("_bucket")
+                        .distinct()
+                        .collect()
+                    ]
+                    existing = existing.filter(
+                        F.col("_bucket").isin(touched)
+                    )
                 edges = edges.join(
-                    existing, ["src_id", "dst_id"], "left_anti"
+                    existing.select("src_id", "dst_id"),
+                    ["src_id", "dst_id"],
+                    "left_anti",
                 )
             catalog.append(
                 EDGES_TABLE,
@@ -177,8 +265,13 @@ def run_edge_ingest(
                     "stream_batch_id": batch_id,
                     "stream_ckpt": checkpoint_dir,
                 },
-                partition_by=["_bucket"],
+                partition_by=None if legacy else ["_bucket"],
             )
+            if compact_after:
+                for table in (EDGES_TABLE, VERTICES_TABLE):
+                    snap = catalog.latest_snapshot(table)
+                    if snap and len(snap["data_dirs"]) > compact_after:
+                        compact_edges(spark, catalog, table=table)
         finally:
             batch_links.unpersist()
             if batch_edges is not None:
@@ -215,6 +308,34 @@ def compact_edges(
         # one file per partition dir: coalesce rows of each bucket
         df = df.repartition(*[F.col(c) for c in part])
     return catalog.overwrite(table, df, props=dict(last["props"]))
+
+
+def migrate_edges_layout(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    table: str = EDGES_TABLE,
+    bucket_on: str = "src_id",
+    buckets: int = 64,
+) -> int:
+    """One-shot upgrade of a legacy unpartitioned table to the bucketed
+    hive layout (``_bucket = pmod(hash(bucket_on), buckets)``), after
+    which the streaming sink's pruned anti-join applies. Uses catalog
+    partition-spec evolution: overwrite replaces every data dir, so the
+    spec change is atomic for readers. Also works for the vertices table
+    (``table=VERTICES_TABLE, bucket_on="url"``)."""
+    last = catalog.latest_snapshot(table)
+    if last is None:
+        raise KeyError(f"table {table!r} has no snapshots to migrate")
+    df = catalog.read(spark, table)
+    if "_bucket" not in df.columns:
+        df = df.withColumn(
+            "_bucket", F.pmod(F.hash(bucket_on), F.lit(buckets)).cast("int")
+        )
+    df = df.repartition(F.col("_bucket"))
+    return catalog.overwrite(
+        table, df, props=dict(last["props"]), partition_by=["_bucket"]
+    )
 
 
 def page_stats_stream(

@@ -142,3 +142,111 @@ def test_alignment_probe(spark, big_edges_df):
     # partition by a DIFFERENT key expression → rows land off-bucket
     misaligned = state.repartition(4, (F.col("vertex_id") + 7).alias("k"))
     assert _alignment_fraction(misaligned, 4) < 1.0
+
+
+def test_attach_requires_content_fingerprint(spark, tmp_path, big_edges_df):
+    """The manifest's edge COUNT alone cannot detect a changed graph with
+    the same number of edges; the content fingerprint (bit_xor of per-edge
+    xxhash64) must: a resumed run over same-count-different-edges REBUILDS
+    the store instead of silently reusing stale blocks."""
+    import json as _json
+
+    from ps_pagerank_spark.sources.edgelist import edges_from_pairs
+    from tests.conftest import BIG_EDGES
+
+    bdir = tmp_path / "blocks"
+    cat = Catalog(str(tmp_path / "ckpt"))
+    pagerank(
+        spark, big_edges_df, dangling_mode="redistribute", num_partitions=4,
+        kernel="csr_block", block_dir=str(bdir), fixed_iterations=3,
+        checkpoint=cat, checkpoint_every=1,
+    )
+    mf = _json.loads((bdir / _MANIFEST).read_text())
+    assert mf["edges_fp"] is not None
+    # unit level: attach honors the fingerprint
+    ok = _attach_csr_blocks(
+        str(bdir), 4, "float64", mf["n_edges"], fingerprint=mf["edges_fp"]
+    )
+    assert ok is not None
+    assert (
+        _attach_csr_blocks(
+            str(bdir), 4, "float64", mf["n_edges"],
+            fingerprint=mf["edges_fp"] ^ 1,
+        )
+        is None
+    )
+
+    # behavioral: same edges → reattach (run_id unchanged); same COUNT but
+    # one changed edge → rebuild (run_id rotates)
+    resume_pagerank(
+        spark, big_edges_df, cat, dangling_mode="redistribute",
+        num_partitions=4, kernel="csr_block", block_dir=str(bdir),
+    )
+    assert _json.loads((bdir / _MANIFEST).read_text())["run_id"] == mf["run_id"]
+
+    changed = [(3, 2) if e == (1, 2) else e for e in BIG_EDGES]
+    assert len(changed) == len(BIG_EDGES)
+    changed_df = edges_from_pairs(spark, changed)
+    resume_pagerank(
+        spark, changed_df, cat, dangling_mode="redistribute",
+        num_partitions=4, kernel="csr_block", block_dir=str(bdir),
+    )
+    assert _json.loads((bdir / _MANIFEST).read_text())["run_id"] != mf["run_id"]
+
+
+def test_cli_resume_keeps_csr_block_kernel(spark, tmp_path, big_edges_df,
+                                           monkeypatch):
+    """--resume must pass --kernel/--block-dir/--num-partitions through to
+    resume_pagerank (a stale workaround used to strip them, silently
+    restarting on the join kernel): drive the real CLI dispatch and check
+    the store is REATTACHED plus identical scores and total iterations."""
+    import ps_pagerank_spark.operators.pagerank as pr
+    from jobs.pagerank_job import main
+
+    edges_path = str(tmp_path / "edges_pq")
+    big_edges_df.write.parquet(edges_path)
+    cat_dir = str(tmp_path / "cat")
+    cat = Catalog(cat_dir)
+    bdir = str(tmp_path / "blocks")
+
+    # eps=1e-6 matches the CLI's --eps default (library default is 1e-8)
+    full = pagerank(
+        spark, big_edges_df, dangling_mode="redistribute", num_partitions=4,
+        kernel="csr_block", eps=1e-6,
+    )
+    want = _ranks(full)
+
+    # interrupted run: csr_block with a persistent store + checkpoints
+    pagerank(
+        spark, spark.read.parquet(edges_path), dangling_mode="redistribute",
+        num_partitions=4, kernel="csr_block", block_dir=bdir, eps=1e-6,
+        fixed_iterations=5, checkpoint=cat, checkpoint_every=1,
+    )
+
+    attached = {}
+    orig = pr._attach_csr_blocks
+
+    def spy(*a, **k):
+        store = orig(*a, **k)
+        attached["ok"] = store is not None
+        return store
+
+    monkeypatch.setattr(pr, "_attach_csr_blocks", spy)
+    main(
+        [
+            "--edges", edges_path, "--catalog", cat_dir, "--out", "ranks",
+            "--dangling", "redistribute", "--kernel", "csr_block",
+            "--block-dir", bdir, "--num-partitions", "4", "--resume",
+        ],
+        spark=spark,
+    )
+    assert attached.get("ok") is True  # resumed AS csr_block, store reused
+    got = {
+        r["vertex_id"]: r["rank"] for r in cat.read(spark, "ranks").collect()
+    }
+    props = cat.latest_snapshot("ranks")["props"]
+    assert props["iterations"] == full.iterations  # same TOTAL count
+    assert np.allclose(
+        [got[v] for v in sorted(got)], [want[v] for v in sorted(want)],
+        atol=1e-12,
+    )

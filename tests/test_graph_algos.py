@@ -81,3 +81,14 @@ def test_triangles_direction_invariant(spark):
         for r in triangle_counts(spark, rev, vertices=verts, num_partitions=4).collect()
     }
     assert a == b
+
+
+def test_triangles_guard_rejects_non_dense_ids(spark):
+    """The (deg, id)-packing precondition (0 <= id < 2^32) is enforced IN
+    the plan via raise_error: feeding raw non-dictionary-encoded ids must
+    fail loudly instead of silently returning wrong counts."""
+    bad = edges_from_pairs(
+        spark, [(2**32 + 5, 1), (1, 2), (2, 2**32 + 5)]
+    )
+    with pytest.raises(Exception, match="dictionary-dense"):
+        triangle_counts(spark, bad, num_partitions=4).collect()

@@ -60,3 +60,62 @@ def test_hub_split_matches_plain_pagerank(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15)
+
+
+def test_update_join_reuses_agg_exchange_at_custom_P(spark, big_edges_df):
+    """Plan audit for the per-iteration physical shape: with
+    spark.sql.shuffle.partitions pinned to P and AQE off — exactly what
+    pagerank() pins for its run — the contribs aggregation lands on
+    hash(dst_id, P), so the update join streams both the state and the
+    contribs with NO extra Exchange re-keying the rank vector. The only
+    per-iteration exchange is the scatter agg's own (dst_id, P)."""
+    import re
+
+    from ps_pagerank_spark.operators.graph import weighted_edges
+    from ps_pagerank_spark.operators.pagerank import _gather_scatter_join
+
+    P = 7  # deliberately != the session's default shuffle partitions
+    prev = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.shuffle.partitions",
+                  "spark.sql.adaptive.enabled")
+    }
+    assert int(prev["spark.sql.shuffle.partitions"]) != P
+    wedges = None
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(P))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        wedges = weighted_edges(big_edges_df).repartition(P, "src_id").persist()
+        wedges.count()
+        state = (
+            big_edges_df.select(F.col("src_id").alias("vertex_id"))
+            .distinct()
+            .withColumn("dangling", F.lit(False))
+            .withColumn("rank", F.lit(0.1))
+            .repartition(P, "vertex_id")
+            .localCheckpoint(eager=True)
+        )
+        contribs = _gather_scatter_join(state, wedges, None,
+                                        broadcast_ranks=False)
+        new_state = state.select(
+            "vertex_id", "dangling", F.col("rank").alias("_old")
+        ).join(contribs, "vertex_id", "left")
+        plan = new_state._jdf.queryExecution().executedPlan().toString()
+        exchanges = re.findall(
+            r"Exchange hashpartitioning\((\w+)#\d+L?, (\d+)\)", plan
+        )
+        # every exchange keyed to P — nothing at the old default count
+        assert all(n == str(P) for _, n in exchanges), exchanges
+        # the rank vector is never re-exchanged: no hashpartitioning on
+        # vertex_id anywhere in the per-iteration plan
+        assert all(col != "vertex_id" for col, _ in exchanges), exchanges
+        # exactly one NEW exchange per iteration: the scatter agg's
+        # (dst_id); the src_id ones sit inside the persisted wedges
+        # lineage (one-time build, replayed only on cache loss)
+        per_iter = [c for c, _ in exchanges if c == "dst_id"]
+        assert per_iter == ["dst_id"], exchanges
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        if wedges is not None:
+            wedges.unpersist()

@@ -229,3 +229,157 @@ def test_fresh_checkpoint_batch_not_dropped(spark, dirs, tmp_path):
     _write_pages(spark, [(3, 4)], landing2, only_vertices=[3, 4])
     run_edge_ingest(spark, landing2, cat, checkpoint_dir=ckpt2)
     assert cat.read(spark, "edges").count() == 3  # not silently dropped
+
+
+def test_all_duplicate_batch_keeps_table_readable(spark, dirs, tmp_path):
+    """An entirely-duplicate micro-batch (replay from a DIFFERENT
+    checkpoint, or a full re-crawl) appends ZERO rows after the content
+    anti-join. A dynamic partitionBy write of an empty DataFrame produces
+    no parquet files, so the snapshot must not reference a fileless dir —
+    regression test for the 'Unable to infer schema' crash that made the
+    table permanently unreadable."""
+    cat = Catalog(dirs["catalog"])
+    seg = [(0, 1), (1, 2), (2, 0)]
+    _write_pages(spark, seg, dirs["landing"])
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"])
+    assert cat.read(spark, "edges").count() == 3
+    snaps_before = len(cat.snapshots("edges"))
+
+    # identical content lands again under a FRESH checkpoint: the
+    # batch-id guard does not apply, the content anti-join removes
+    # every row → empty partitioned append
+    landing2 = str(tmp_path / "landing2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    _write_pages(spark, seg, landing2)
+    run_edge_ingest(spark, landing2, cat, checkpoint_dir=ckpt2)
+
+    snap = cat.latest_snapshot("edges")
+    assert len(cat.snapshots("edges")) == snaps_before + 1
+    # replay markers recorded even though no data was written
+    assert snap["props"]["stream_ckpt"] == ckpt2
+    # the table (and thus the NEXT batch's anti-join probe) stays readable
+    assert cat.read(spark, "edges").count() == 3
+    # and a further genuinely-new batch still ingests on top of it
+    _write_pages(spark, [(3, 4)], landing2, only_vertices=[3, 4])
+    run_edge_ingest(spark, landing2, cat, checkpoint_dir=ckpt2)
+    assert cat.read(spark, "edges").count() == 4
+
+
+def test_legacy_unbucketed_table_fallback_and_migration(spark, dirs):
+    """Ingest over edges/vertices tables created BEFORE the bucket layout
+    (no partition_by in catalog meta) must fall back to the full-table
+    anti-join + unpartitioned appends instead of crashing on the missing
+    _bucket column; migrate_edges_layout then upgrades the table in one
+    atomic overwrite."""
+    from ps_pagerank_spark.streaming.ingest import migrate_edges_layout
+
+    cat = Catalog(dirs["catalog"])
+    # legacy layout: unpartitioned edges + vertices without next_vertex_id
+    from ps_pagerank_spark.sources.pages import url_of
+
+    cat.append(
+        "vertices",
+        spark.createDataFrame(
+            [(i, url_of(i)) for i in range(3)], "vertex_id long, url string"
+        ),
+    )
+    cat.append(
+        "edges",
+        spark.createDataFrame([(0, 1), (1, 2)], "src_id long, dst_id long"),
+    )
+
+    # new segment: re-links 0→1 (duplicate) and adds 2→0 and page 3
+    _write_pages(spark, [(0, 1), (2, 0), (3, 0)], dirs["landing"],
+                 only_vertices=[0, 2, 3])
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"])
+    edges = cat.read(spark, "edges")
+    got = {(r["src_id"], r["dst_id"]) for r in edges.collect()}
+    assert got == {(0, 1), (1, 2), (2, 0), (3, 0)}  # no dup 0→1
+    assert "_bucket" not in edges.columns  # layout unchanged (legacy)
+    v = cat.read(spark, "vertices")
+    vmap = {r["url"]: r["vertex_id"] for r in v.collect()}
+    assert vmap[url_of(3)] == 3  # max+1 continuation on the legacy table
+    # the legacy probe recorded next_vertex_id for later batches
+    assert cat.latest_snapshot("vertices")["props"]["next_vertex_id"] == 4
+
+    # one-shot migration → bucketed layout with directory pruning
+    migrate_edges_layout(spark, cat, buckets=8)
+    migrated = cat.read(spark, "edges")
+    assert {(r["src_id"], r["dst_id"]) for r in migrated.collect()} == got
+    one = migrated.select("_bucket").first()["_bucket"]
+    plan = (
+        migrated.filter(F.col("_bucket") == one)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_bucketed_dictionary_prunes_scan(spark, dirs):
+    """The per-batch unseen-url probe must NOT rescan the whole vertices
+    table: it is hive-partitioned by _bucket = pmod(hash(url), B) and the
+    batch filters to its touched buckets (PartitionFilters), with
+    next_vertex_id carried in snapshot props instead of a max() agg —
+    poison-dir proof mirroring test_bucketed_antijoin_prunes_scan."""
+    cat = Catalog(dirs["catalog"])
+    _write_pages(spark, [(0, 1), (1, 2), (2, 0)], dirs["landing"])
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"],
+                    url_buckets=8)
+    v = cat.read(spark, "vertices")
+    assert v.count() == 3
+    assert cat.latest_snapshot("vertices")["props"]["next_vertex_id"] == 3
+    buckets = {r["_bucket"] for r in v.select("_bucket").collect()}
+
+    # pruned probe plan: filter on _bucket is a PartitionFilter
+    one = sorted(buckets)[0]
+    probe = v.filter(F.col("_bucket") == one)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+    # behavioral proof: poison a different bucket's dir; a batch touching
+    # only other buckets must never open it, while a full scan fails
+    others = sorted(buckets)[1:]
+    if others:
+        victim = next(
+            f for f in v.inputFiles() if f"_bucket={others[-1]}/" in f
+        )
+        poison = os.path.join(
+            os.path.dirname(victim.replace("file:", "")), "zzz-poison.parquet"
+        )
+        with open(poison, "wb") as fh:
+            fh.write(b"not a parquet file")
+        assert probe.count() > 0  # pruned scan: poison dir never read
+        with pytest.raises(Exception):
+            cat.read(spark, "vertices").count()  # full scan hits it
+        os.remove(poison)
+
+
+def test_auto_compaction_bounds_reader_plan(spark, dirs):
+    """Catalog.read unions one scan per appended snapshot dir; without
+    compaction a long-running ingest makes the plan unboundedly deep. The
+    sink auto-compacts past compact_after data dirs: after many
+    micro-batches the current snapshot stays bounded and the edge set is
+    unchanged."""
+    # 12 single-file segments → maxFilesPerTrigger=1 → 12 micro-batches
+    all_edges = set()
+    for i in range(12):
+        src, dst = 100 + i, 200 + i
+        _write_pages(spark, [(src, dst)], dirs["landing"],
+                     only_vertices=[src, dst])
+        all_edges.add((src, dst))
+    cat = Catalog(dirs["catalog"])
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"],
+                    max_files_per_trigger=1, edge_buckets=8, url_buckets=8,
+                    compact_after=4)
+    for table in ("edges", "vertices"):
+        assert len(cat.latest_snapshot(table)["data_dirs"]) <= 5
+    edges = cat.read(spark, "edges")
+    v = cat.read(spark, "vertices")
+    vmap = {r["vertex_id"]: r["url"] for r in v.collect()}
+    got = {(vmap[r["src_id"]], vmap[r["dst_id"]]) for r in edges.collect()}
+    from ps_pagerank_spark.sources.pages import url_of
+
+    assert got == {(url_of(s), url_of(d)) for s, d in all_edges}
+    # next_vertex_id survives compaction (props carried forward)
+    assert cat.latest_snapshot("vertices")["props"]["next_vertex_id"] == 24

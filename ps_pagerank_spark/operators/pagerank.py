@@ -525,7 +525,7 @@ class _BlockStore:
     max_dst: int = 2**62
 
 
-_STORE_VERSION = 1
+_STORE_VERSION = 2  # v2: per-src suw replaces per-edge w; narrowed dst/starts
 _MANIFEST = "manifest.json"
 
 
@@ -623,7 +623,7 @@ def _clear_store(dirpath: str) -> None:
 def _block_files(path: str, pkey: int) -> dict[str, str]:
     return {
         name: os.path.join(path, f"blk{pkey}_{name}.npy")
-        for name in ("su", "sidx", "w", "dst", "starts")
+        for name in ("su", "sidx", "suw", "dst", "starts")
     }
 
 
@@ -678,14 +678,24 @@ def _build_csr_blocks(
 
       su     — sorted unique src ids in the bucket
       sidx   — per-edge gather index into su (int32 when it fits)
-      w      — per-edge 1/L weight, dst-run order, in `dtype`
-      dst    — unique dst ids, one per run
-      starts — np.add.reduceat run starts into the edge arrays
+      suw    — PER-SOURCE 1/L weight, aligned with su, in `dtype`
+      dst    — unique dst ids, one per run (int32 when the bucket fits)
+      starts — np.add.reduceat run starts (int32 when the bucket fits)
 
     The per-iteration kernel then does zero index computation: gather is
-    su_rank[sidx], scatter is one reduceat. pmod(hash(.), P) matches
+    (su_rank·suw)[sidx], scatter is one reduceat. pmod(hash(.), P) matches
     Spark's HashPartitioning placement, so these buckets line up with the
     rank state's physical partitions for the iteration loop.
+
+    Store format v2: PageRank's edge weight is purely a function of the
+    source (w = 1/out-degree, reference openmp/pagerank.c's val[] built
+    from outdeg), so the per-edge float array of v1 is redundant — one
+    weight per UNIQUE source (suw) carries the same information at
+    |su| ≤ |edges| elements. At 256M edges / 16M vertices this removes
+    ~2 GB (float64) of block reads from EVERY iteration and one 256M-wide
+    multiply; the per-edge arrays shrink from 12 B to 4 B per edge. The
+    build verifies src-functionality bit-exactly and fails loudly on
+    violation (unreachable via pagerank(), which always derives w = 1/L).
 
     aligned=True asserts the input is ALREADY hash(src_id, P)-partitioned
     (pagerank()'s persisted wedges are), in which case each physical
@@ -724,12 +734,29 @@ def _build_csr_blocks(
             sidx = np.searchsorted(su, s)
             if len(su) < np.iinfo(np.int32).max:
                 sidx = sidx.astype(np.int32)
+            # per-source weight (scatter, then verify src-functionality
+            # bit-exactly: every edge of a source carries the identical
+            # 1/L bits, so equality is exact, not approximate)
+            suw = np.empty(len(su), dtype=ww.dtype)
+            suw[sidx] = ww
+            if not np.array_equal(ww, suw[sidx]):
+                raise ValueError(
+                    "csr_block store requires src-functional edge weights "
+                    "(w = f(src_id), e.g. PageRank's 1/out-degree); got "
+                    "edges of one source with differing weights"
+                )
             starts = np.concatenate(([0], np.flatnonzero(np.diff(t)) + 1))
+            rdst = t[starts]
+            i32 = np.iinfo(np.int32)
+            if len(t) <= i32.max:
+                starts = starts.astype(np.int32)
+            if rdst.size and i32.min <= rdst[0] and rdst[-1] <= i32.max:
+                rdst = rdst.astype(np.int32)  # dst-sorted: [0]/[-1] = min/max
             files = _block_files(path, int(key))
             _store_write_npy(files["su"], su)
             _store_write_npy(files["sidx"], sidx)
-            _store_write_npy(files["w"], ww)
-            _store_write_npy(files["dst"], t[starts])
+            _store_write_npy(files["suw"], suw)
+            _store_write_npy(files["dst"], rdst)
             _store_write_npy(files["starts"], starts)
             out_k.append(int(key))
             out_n.append(int(len(s)))
@@ -843,10 +870,12 @@ def _gather_scatter_blocks(
     or stale store raises instead of silently dropping contributions, and
     only pkeys the manifest lists as blockless are skipped.
 
-    dtype="float32" halves BOTH sides of the per-iteration byte budget:
-    the rank state crosses JVM→Python as float32 and the block weights are
-    float32, so gather/scatter arithmetic runs at half the memory traffic
-    (partials return as float64 for the exact merge agg).
+    dtype="float32" halves the float side of the per-iteration byte
+    budget: the rank state crosses JVM→Python as float32, the per-source
+    suw weights are float32, and the gather/scatter arithmetic (the
+    |edges|-wide scaled-rank gather + reduceat) runs at half the memory
+    traffic. Since store v2 the per-edge arrays are index-only (sidx), so
+    float width no longer touches the per-edge block bytes.
     """
     path, dtype, run_id = store.path, store.dtype, store.run_id
     # Arrow respects element widths (unlike Spark's 8-byte-slot UnsafeRow),
@@ -878,7 +907,7 @@ def _gather_scatter_blocks(
             files = _block_files(path, int(key))
             su = _store_read_npy(files["su"])
             sidx = _store_read_npy(files["sidx"])
-            w = _store_read_npy(files["w"])
+            suw = _store_read_npy(files["suw"])
             dst = _store_read_npy(files["dst"])
             starts = _store_read_npy(files["starts"])
             m = pk == key
@@ -889,7 +918,11 @@ def _gather_scatter_blocks(
             pos_c = np.minimum(pos, len(ids) - 1)
             present = ids[pos_c] == su
             su_rank = np.where(present, rk[pos_c], 0.0).astype(dtype, copy=False)
-            vals = w * su_rank[sidx]  # gather: val[k]·prevR[col[k]]
+            # fold the per-source 1/L into the rank BEFORE the per-edge
+            # gather: one |su|-wide multiply replaces v1's |edges|-wide
+            # multiply + per-edge weight read
+            scaled = su_rank * suw
+            vals = scaled[sidx]  # gather: val[k]·prevR[col[k]]
             sums = np.add.reduceat(vals, starts)  # CSR rowPtr scatter
             yield pa.RecordBatch.from_arrays(
                 [

@@ -100,6 +100,29 @@ def test_attach_validates_manifest(spark, tmp_path, big_edges_df):
     assert _attach_csr_blocks(bdir, 4, "float64", n_edges + 1) is None
     assert _attach_csr_blocks(str(tmp_path / "nope"), 4, "float64", None) is None
     assert res.phases.get("block_alignment") == 1.0
+    # a store written by an older format version must rebuild, not attach:
+    # v2 readers expect per-source suw + narrowed dst/starts
+    import json as _json
+
+    mf_path = tmp_path / "blocks" / _MANIFEST
+    mf = _json.loads(mf_path.read_text())
+    mf["version"] = 1
+    mf_path.write_text(_json.dumps(mf))
+    assert _attach_csr_blocks(str(bdir), 4, "float64", n_edges) is None
+
+
+def test_build_rejects_non_src_functional_weights(spark, big_edges_df):
+    """Store v2 keeps ONE weight per unique source (PageRank's w = 1/L is
+    purely src-functional); a weight column that varies within a source
+    must fail the build loudly, never silently store wrong weights."""
+    from ps_pagerank_spark.operators.pagerank import _build_csr_blocks
+
+    bad = big_edges_df.select(
+        "src_id", "dst_id", (F.col("dst_id") + 0.5).alias("w")
+    )
+    with pytest.raises(Exception, match="src-functional"):
+        _build_csr_blocks(bad.repartition(4, "src_id"), 4, None, "float64",
+                          aligned=True)
 
 
 def test_resume_csr_block_identical(spark, tmp_path, big_edges_df):

@@ -142,7 +142,7 @@ def main() -> None:
             capture_output=True,
             text=True,
             cwd=str(REPO),
-            timeout=3600,
+            timeout=int(os.environ.get("SCALING_TIMEOUT", "7200")),
         )
         line = next(
             (

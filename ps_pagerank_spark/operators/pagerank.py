@@ -115,38 +115,34 @@ def pagerank(spark: SparkSession, edges: DataFrame, **kwargs) -> PageRankResult:
     full parameter list and semantics (this wrapper forwards everything;
     unknown kwargs still raise TypeError).
 
-    Two session confs are pinned for the duration of the run (and restored
-    after, even on failure):
+    ``spark.sql.shuffle.partitions`` is pinned to P for the duration of
+    the run (and restored after, even on failure): the contribs
+    aggregation then lands on hash(dst_id, P), the same partitioning the
+    rank state carries, so the per-iteration update join streams BOTH
+    sides with no re-exchange of the rank vector. With a mismatched conf
+    the planner inserts an extra full Exchange of (vertex_id, rank) every
+    iteration (plan-asserted in tests/test_partitioning.py).
 
-      * ``spark.sql.shuffle.partitions = P`` — the contribs aggregation
-        then lands on hash(dst_id, P), the same partitioning the rank
-        state carries, so the per-iteration update join streams BOTH sides
-        with no re-exchange of the rank vector. With a mismatched conf the
-        planner inserts an extra full Exchange of (vertex_id, rank) every
-        iteration (plan-asserted in tests/test_partitioning.py).
-      * ``spark.sql.adaptive.enabled = false`` — AQE wraps each
-        iteration's FIXED-shape query in query stages and re-exchanges the
-        localCheckpoint'd state (its LogicalRDD partitioning no longer
-        satisfies the join requirement under AQE), adding two rank-vector
-        shuffles per iteration that the static planner proves unnecessary.
-        The loop needs none of AQE's strengths: its plan is identical
-        every iteration and skew is handled explicitly (hub split +
-        salting). Everything outside pagerank() keeps AQE on.
+    AQE is additionally disabled around the ITERATION LOOP ONLY (see
+    _iterate's caller): AQE wraps each iteration's fixed-shape query in
+    query stages and re-exchanges the localCheckpoint'd state (its
+    LogicalRDD partitioning no longer satisfies the join requirement
+    under AQE), adding two rank-vector shuffles per iteration that the
+    static planner proves unnecessary. The loop needs none of AQE's
+    strengths: its plan is identical every iteration and skew is handled
+    explicitly (hub split + salting). PREP — vertex distinct, the 1/L
+    weight join, the fingerprint agg — keeps AQE: those are exactly the
+    one-shot skew/size-sensitive shuffles AQE is for, and measured A/B
+    (16M edges, local[8]) shows AQE-off prep is ~2x slower for both
+    kernels while loop speed is unaffected by prep's setting.
     """
-    prev = {
-        k: spark.conf.get(k)
-        for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
-    }
-    P = kwargs.get("num_partitions") or int(
-        prev["spark.sql.shuffle.partitions"]
-    )
+    prev_p = spark.conf.get("spark.sql.shuffle.partitions")
+    P = kwargs.get("num_partitions") or int(prev_p)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(P))
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
         return _pagerank_impl(spark, edges, **kwargs)
     finally:
-        for k, v in prev.items():
-            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_p)
 
 
 def _pagerank_impl(
@@ -317,26 +313,36 @@ def _pagerank_impl(
             )
 
     t_conv0 = time.perf_counter()
-    state, it, converged, metrics = _iterate(
-        state,
-        wedges,
-        hub_part,
-        store,
-        n=n,
-        P=P,
-        d=d,
-        eps=eps,
-        max_iter=max_iter,
-        fixed_iterations=fixed_iterations,
-        dangling_mode=dangling_mode,
-        use_bcast=use_bcast,
-        start_iter=start_iter,
-        metrics=list(prev_metrics or []),
-        init_dang_mass=init_dang_mass,
-        checkpoint=checkpoint,
-        checkpoint_every=checkpoint_every,
-        checkpoint_table=checkpoint_table,
-    )
+    # AQE off for the LOOP only (restored after): every localCheckpoint
+    # compiled inside _iterate then exposes its hash(vertex_id, P)
+    # partitioning to the static planner, so no iteration re-exchanges
+    # the rank vector. Prep above keeps the session's AQE — its one-shot
+    # joins/aggs are what AQE is good at (measured ~2x prep win).
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        state, it, converged, metrics = _iterate(
+            state,
+            wedges,
+            hub_part,
+            store,
+            n=n,
+            P=P,
+            d=d,
+            eps=eps,
+            max_iter=max_iter,
+            fixed_iterations=fixed_iterations,
+            dangling_mode=dangling_mode,
+            use_bcast=use_bcast,
+            start_iter=start_iter,
+            metrics=list(prev_metrics or []),
+            init_dang_mass=init_dang_mass,
+            checkpoint=checkpoint,
+            checkpoint_every=checkpoint_every,
+            checkpoint_table=checkpoint_table,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     ranks = state.select("vertex_id", "rank")
     for df in (wedges, verts):
         df.unpersist()

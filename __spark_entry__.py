@@ -377,7 +377,11 @@ def _q_exact_dedup(spark, sf_dir):
 def _q_jaccard_pairs(spark, sf_dir):
     from ps_pagerank_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    # explicit exact mode: the DuckDB oracle is uncapped; the operator's
+    # DEFAULT is the capped, crawl-scale-safe mode (max_shingle_df=1000)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5, max_shingle_df=None
+    )
 
 
 def _q_minhash_pairs(spark, sf_dir):

@@ -88,19 +88,26 @@ def main() -> None:
 
     def pr_detail(results):
         """Throughput from the best rep's median steady iteration (drop
-        iteration 1 = warmup); iteration counts are deterministic."""
+        iteration 1 = warmup); iteration counts are deterministic.
+        calc_s and phases come from THAT SAME rep — the round-4 record
+        took them from rep 1, which on this box is the stall-prone one
+        (a 147s block build rode into BENCH_r04 as the phase record
+        while the headline used a different rep). rep_phases keeps every
+        rep's phases so a stalled rep is visible in the artifact."""
         per_iter = [
             statistics.median(m["elapsed_s"] for m in r.metrics[1:] or r.metrics)
             for r in results
         ]
-        best = min(per_iter)
-        r0 = results[0]
+        i_best = per_iter.index(min(per_iter))
+        rb = results[i_best]
         return {
-            "iterations": r0.iterations,
-            "calc_s": round(sum(m["elapsed_s"] for m in r0.metrics), 3),
-            "median_iter_s_best_rep": round(best, 3),
-            "edges_per_sec_per_iter": round(n_edges / best),
-            "phases": r0.phases,
+            "iterations": rb.iterations,
+            "best_rep": i_best,
+            "calc_s": round(sum(m["elapsed_s"] for m in rb.metrics), 3),
+            "median_iter_s_best_rep": round(min(per_iter), 3),
+            "edges_per_sec_per_iter": round(n_edges / min(per_iter)),
+            "phases": rb.phases,
+            "rep_phases": [r.phases for r in results],
         }
 
     # headline: join-kernel PageRank to 1e-6, dangling redistribution

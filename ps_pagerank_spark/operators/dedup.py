@@ -116,13 +116,23 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word n-gram shingle sets.
 
     Plan: inverted index (explode shingles) → self-equi-join on shingle →
     pair-count = |A∩B| → sizes join → J = |∩| / (|A|+|B|−|∩|).
     Output (doc_a, doc_b, jaccard_u) with doc_a < doc_b.
+
+    max_shingle_df (default 1000) drops shingles appearing in more than
+    that many documents before the self-join. The inverted-index join is
+    quadratic in shingle document-frequency — one boilerplate shingle
+    shared by 1M docs generates 5·10^11 candidate rows — so the capped
+    mode is the only safe default at crawl scale (sizes are computed on
+    the SAME capped shingle set, so J stays a true Jaccard of the
+    filtered sets). Pass ``max_shingle_df=None`` for the exact,
+    uncapped semantics (the DuckDB oracle twin below); that mode is
+    opt-in because it is a scale hazard by construction.
     """
     sh = _doc_shingles(docs, n, text_col, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

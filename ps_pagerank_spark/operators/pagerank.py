@@ -78,6 +78,11 @@ from ps_pagerank_spark.operators.graph import (
 
 D_DEFAULT = 0.85
 EPS_DEFAULT = 1e-8  # c-single-threaded/pagerank.c:19
+# loop_aqe="auto": disable AQE inside the iteration loop only when the
+# rank state carries at least this many rows per partition — below it the
+# P fixed tiny tasks cost more than the two removed rank-vector exchanges
+# save (measured A/B, BENCH/BASELINE.md §4).
+LOOP_AQE_MIN_ROWS_PER_PARTITION = 25_000
 
 
 @dataclass
@@ -135,6 +140,15 @@ def pagerank(spark: SparkSession, edges: DataFrame, **kwargs) -> PageRankResult:
     one-shot skew/size-sensitive shuffles AQE is for, and measured A/B
     (16M edges, local[8]) shows AQE-off prep is ~2x slower for both
     kernels while loop speed is unaffected by prep's setting.
+
+    Session contract — SINGLE-TENANT for the duration of the run: both
+    pins mutate session-wide SQLConf and restore it in ``finally``, so a
+    concurrent query on the same SparkSession would observe the pinned
+    values, and two overlapping pagerank() calls restore last-writer-wins.
+    Run concurrent work on a separate session (``spark.newSession()``
+    shares the SparkContext/cache with isolated SQLConf) and build its
+    DataFrames there; an edges DataFrame is bound to the session that
+    created it, which is why this function cannot transparently clone.
     """
     prev_p = spark.conf.get("spark.sql.shuffle.partitions")
     P = kwargs.get("num_partitions") or int(prev_p)
@@ -165,6 +179,7 @@ def _pagerank_impl(
     checkpoint_table: str = "pagerank_ranks",
     block_dir: str | None = None,  # csr_block store (must be executor-visible)
     dtype: str = "float64",  # csr_block arithmetic: "float64" | "float32"
+    loop_aqe: str = "auto",  # iteration-loop AQE: "auto" | "on" | "off"
     start_state: DataFrame | None = None,  # resume: (vertex_id,dangling,rank)
     start_iter: int = 0,  # resume: iterations already done
     prev_metrics: list | None = None,  # resume: metrics of the prior run
@@ -200,6 +215,8 @@ def _pagerank_impl(
         raise ValueError(f"unknown kernel {kernel!r}")
     if gather not in ("auto", "shuffle", "broadcast"):
         raise ValueError(f"unknown gather {gather!r}")
+    if loop_aqe not in ("auto", "on", "off"):
+        raise ValueError(f"unknown loop_aqe {loop_aqe!r}")
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # setup cost discipline — exactly 3 actions before the loop (plus the
     # csr_block upload when selected): (1) vertex materialize+count, which
@@ -318,9 +335,21 @@ def _pagerank_impl(
     # partitioning to the static planner, so no iteration re-exchanges
     # the rank vector. Prep above keeps the session's AQE — its one-shot
     # joins/aggs are what AQE is good at (measured ~2x prep win).
+    #
+    # loop_aqe="auto" gates the switch on state size: the exchange
+    # removal saves ~2·n rank rows of shuffle per iteration, but fixes
+    # every loop stage at P tasks — on a near-empty state (few rows per
+    # partition) the per-task floor costs more than the exchanges save,
+    # which is exactly the round-4 sf0.1 regression (A/B table in
+    # BENCH/BASELINE.md §4). AQE's coalescing shrinks those tiny stages
+    # to ~1 task, so small graphs keep AQE on.
+    aqe_off = loop_aqe == "off" or (
+        loop_aqe == "auto" and n >= LOOP_AQE_MIN_ROWS_PER_PARTITION * P
+    )
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        if aqe_off:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
         state, it, converged, metrics = _iterate(
             state,
             wedges,

@@ -20,6 +20,16 @@ same call sites switch to ``df.writeTo(...)`` against an Iceberg catalog
 Snapshot ids are a deterministic counter (no wall clock): repeated runs of
 the test suite produce byte-identical metadata apart from parquet
 internals.
+
+Concurrency contract: **one writer per table at a time**, enforced with an
+advisory lockfile (``_meta.lock``, O_CREAT|O_EXCL, pid inside) held across
+the whole write (metadata read → data-dir write → manifest swap). A second
+writer hitting a held lock raises :class:`ConcurrentWriteError` immediately
+(the Iceberg ``CommitFailedException`` analog — retry the whole write); a
+lock left by a dead process is stolen. Without this, two interleaved
+writers could each read the same ``current``, write the same ``snap-id``
+data dir, and the loser's manifest swap would silently drop the winner's
+snapshot.
 """
 
 from __future__ import annotations
@@ -31,6 +41,12 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another live writer holds this table's commit lock. Catalog writes
+    are single-writer-per-table (module docstring); retry the whole
+    write after the other commit finishes."""
 
 
 class Catalog:
@@ -60,6 +76,47 @@ class Catalog:
         tmp.write_text(json.dumps(meta, indent=1))
         os.replace(tmp, p)  # atomic pointer swap = Iceberg commit
 
+    def _lock_path(self, table: str) -> Path:
+        return self.root / table / "_meta.lock"
+
+    def _acquire_lock(self, table: str) -> Path:
+        """Take the table's advisory commit lock or raise loudly.
+
+        Non-blocking by design: a held lock means a concurrent writer —
+        a contract violation the caller must see, not wait out. A lock
+        whose recorded pid is dead (crashed writer) is stolen once."""
+        lock = self._lock_path(table)
+        lock.parent.mkdir(parents=True, exist_ok=True)
+        for attempt in (0, 1):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    pid = int(lock.read_text() or "0")
+                except (OSError, ValueError):
+                    pid = 0
+                alive = False
+                if pid:
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True  # exists, not ours
+                if alive or attempt:
+                    raise ConcurrentWriteError(
+                        f"table {lock.parent.name!r} is being written by "
+                        f"pid {pid or 'unknown'} (lock {lock}); catalog "
+                        "tables are single-writer — serialize the writers "
+                        "or retry after the other commit"
+                    ) from None
+                lock.unlink(missing_ok=True)  # stale lock of a dead writer
+        raise AssertionError("unreachable")
+
     # -- write -------------------------------------------------------------
     def _write_snapshot(
         self,
@@ -68,6 +125,24 @@ class Catalog:
         mode: str,
         props: dict | None,
         partition_by: list[str] | None = None,
+        layout: dict | None = None,
+    ) -> int:
+        lock = self._acquire_lock(table)
+        try:
+            return self._write_snapshot_locked(
+                table, df, mode, props, partition_by, layout
+            )
+        finally:
+            lock.unlink(missing_ok=True)
+
+    def _write_snapshot_locked(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str,
+        props: dict | None,
+        partition_by: list[str] | None = None,
+        layout: dict | None = None,
     ) -> int:
         meta = self._load_meta(table)
         existing_part = meta.get("partition_by")
@@ -83,6 +158,21 @@ class Catalog:
                 # the Iceberg partition-spec-evolution analog
             else:
                 partition_by = existing_part
+            # layout = how the partition value is DERIVED (e.g. bucket
+            # column + modulus). Same evolution rules as partition_by:
+            # appends inherit/must-match, overwrite may change it. Stored
+            # in table meta so writers can't silently change the bucket
+            # modulus (that would break bucket-pruned anti-joins).
+            existing_layout = meta.get("layout")
+            if layout is not None and layout != existing_layout:
+                if mode != "overwrite":
+                    raise ValueError(
+                        f"table {table!r} has layout {existing_layout}; "
+                        f"got {layout} — appends cannot change the layout "
+                        "(overwrite/migrate can)"
+                    )
+            elif layout is None:
+                layout = existing_layout
         snap_id = (meta["snapshots"][-1]["id"] + 1) if meta["snapshots"] else 1
         data_dir = self.root / table / f"snap-{snap_id:06d}"
         writer = df.write.mode("overwrite")
@@ -114,6 +204,7 @@ class Catalog:
         )
         meta["current"] = snap_id
         meta["partition_by"] = partition_by
+        meta["layout"] = layout
         self._store_meta(table, meta)
         return snap_id
 
@@ -123,8 +214,11 @@ class Catalog:
         df: DataFrame,
         props: dict | None = None,
         partition_by: list[str] | None = None,
+        layout: dict | None = None,
     ) -> int:
-        return self._write_snapshot(table, df, "overwrite", props, partition_by)
+        return self._write_snapshot(
+            table, df, "overwrite", props, partition_by, layout
+        )
 
     def append(
         self,
@@ -132,8 +226,16 @@ class Catalog:
         df: DataFrame,
         props: dict | None = None,
         partition_by: list[str] | None = None,
+        layout: dict | None = None,
     ) -> int:
-        return self._write_snapshot(table, df, "append", props, partition_by)
+        return self._write_snapshot(
+            table, df, "append", props, partition_by, layout
+        )
+
+    def layout(self, table: str) -> dict | None:
+        """The table's stored physical-layout descriptor (e.g. bucket
+        column + modulus) — the source of truth writers must honor."""
+        return self._load_meta(table).get("layout")
 
     # -- read --------------------------------------------------------------
     @staticmethod

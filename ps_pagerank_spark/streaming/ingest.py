@@ -61,9 +61,44 @@ def _url_bucket(col: str, buckets: int):
     return F.pmod(F.hash(col), F.lit(buckets)).cast("int")
 
 
+DEFAULT_BUCKETS = 64  # suits tests; raise to 2^14 at crawl scale
+
+
+def _resolve_buckets(
+    catalog: Catalog, table: str, param: int | None, bucket_on: str
+) -> tuple[int, dict | None]:
+    """Source-of-truth bucket modulus for a bucketed table.
+
+    The stored table layout WINS: `_bucket = pmod(hash(col), buckets)`
+    values on disk were computed under the creation-time modulus, so a
+    sink probing with a different one computes `touched` buckets that
+    miss existing rows — the same url would silently get a second
+    vertex_id and duplicate edges would append. Hence: the parameter is
+    only honored at table creation; afterwards an explicit parameter
+    that disagrees with the stored layout raises loudly (run
+    ``migrate_edges_layout`` to actually change the modulus). Returns
+    ``(buckets, layout_to_record)`` — the layout dict is passed to the
+    append for creation and for upgrading a pre-layout bucketed table
+    (recorded from the parameter once, trusted thereafter).
+    """
+    stored = catalog.layout(table)
+    if stored is not None:
+        if param is not None and param != stored["buckets"]:
+            raise ValueError(
+                f"table {table!r} was bucketed with "
+                f"buckets={stored['buckets']} on {stored['bucket_on']!r}; "
+                f"got buckets={param} — the stored layout wins (a "
+                "different modulus would break bucket pruning and "
+                "deduplication); pass None or run migrate_edges_layout"
+            )
+        return int(stored["buckets"]), None
+    b = param if param is not None else DEFAULT_BUCKETS
+    return b, {"bucket_on": bucket_on, "buckets": b}
+
+
 def _extend_dictionary(
     spark: SparkSession, catalog: Catalog, links: DataFrame,
-    *, url_buckets: int = 64,
+    *, url_buckets: int | None = None,
 ) -> DataFrame:
     """Add unseen urls to the vertices table; return a dictionary slice
     sufficient to encode THIS batch (every batch url is covered).
@@ -99,9 +134,17 @@ def _extend_dictionary(
         .distinct()
     )
     last = catalog.latest_snapshot(VERTICES_TABLE)
+    ub, record_layout = _resolve_buckets(
+        catalog, VERTICES_TABLE, url_buckets, "url"
+    )
     if last is None:
-        new_vertices = zip_index(batch_urls, base_id=0).withColumn(
-            "_bucket", _url_bucket("url", url_buckets)
+        # eager localCheckpoint: id assignment is computed ONCE — the
+        # count, the append, and the returned dictionary all read the
+        # same materialized rows (no re-derivation of ids per consumer)
+        new_vertices = (
+            zip_index(batch_urls, base_id=0)
+            .withColumn("_bucket", _url_bucket("url", ub))
+            .localCheckpoint(eager=True)
         )
         n_new = new_vertices.count()
         catalog.append(
@@ -109,6 +152,7 @@ def _extend_dictionary(
             new_vertices,
             props={"next_vertex_id": n_new},
             partition_by=["_bucket"],
+            layout=record_layout,
         )
         return new_vertices.select("vertex_id", "url")
 
@@ -122,7 +166,7 @@ def _extend_dictionary(
         next_id = int(m) + 1 if m is not None else 0
     if part:
         batch_urls = batch_urls.withColumn(
-            "_bucket", _url_bucket("url", url_buckets)
+            "_bucket", _url_bucket("url", ub)
         )
         touched = [
             r["_bucket"]
@@ -132,20 +176,28 @@ def _extend_dictionary(
         # prunes both the unseen-url probe and the encode join's build side
         existing = existing.filter(F.col("_bucket").isin(touched))
     new_urls = batch_urls.join(existing.select("url"), "url", "left_anti")
-    new_vertices = zip_index(new_urls.select("url"), base_id=int(next_id))
+    # eager localCheckpoint: the anti-join + zip_index run ONCE; the
+    # count, the append, and the returned dictionary slice consume the
+    # same materialized id assignment instead of re-executing the lineage
+    # (determinism is then locally evident, and the per-batch probe isn't
+    # paid three times)
+    new_vertices = zip_index(
+        new_urls.select("url"), base_id=int(next_id)
+    ).localCheckpoint(eager=True)
     n_new = new_vertices.count()
     dictionary = existing.select("vertex_id", "url")
     if n_new == 0:
         return dictionary
     if part:
         new_vertices = new_vertices.withColumn(
-            "_bucket", _url_bucket("url", url_buckets)
+            "_bucket", _url_bucket("url", ub)
         )
     catalog.append(
         VERTICES_TABLE,
         new_vertices,
         props={"next_vertex_id": int(next_id) + n_new},
         partition_by=part,
+        layout=record_layout if part else None,
     )
     return dictionary.unionByName(new_vertices.select("vertex_id", "url"))
 
@@ -158,8 +210,8 @@ def run_edge_ingest(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int = 16,
-    edge_buckets: int = 64,
-    url_buckets: int = 64,
+    edge_buckets: int | None = None,
+    url_buckets: int | None = None,
     compact_after: int | None = 32,
 ):
     """Start (and for available_now=True, run to completion) the ingest
@@ -190,6 +242,15 @@ def run_edge_ingest(
     Each append writes ≤ edge_buckets files; compaction
     (catalog.overwrite of the same partitioned layout) folds small files.
 
+    ``edge_buckets``/``url_buckets`` are CREATION-TIME parameters: once a
+    table exists, its stored layout (catalog meta, recorded at creation/
+    migration) is the source of truth for the bucket modulus, and an
+    explicit parameter that disagrees raises ValueError — probing with a
+    different modulus than the one the ``_bucket`` values were written
+    under would miss existing rows and silently duplicate urls/edges. To
+    actually change the modulus, run ``migrate_edges_layout`` (a full
+    rewrite that re-derives ``_bucket``).
+
     Tables created before the bucket layouts existed (no ``partition_by``
     in their catalog meta) keep working: the sink falls back to the
     full-table anti-join and unpartitioned appends for that table. Run
@@ -203,6 +264,12 @@ def run_edge_ingest(
     (O(table) work every compact_after batches = amortized O(table /
     compact_after) per batch — the standard LSM trade). ``None`` disables.
     """
+    # fail fast on a bucket-modulus mismatch BEFORE the stream starts —
+    # per-batch resolution alone would silently accept a bad parameter on
+    # a run that happens to process zero batches
+    _resolve_buckets(catalog, EDGES_TABLE, edge_buckets, "src_id")
+    _resolve_buckets(catalog, VERTICES_TABLE, url_buckets, "url")
+
     links = stream_links(stream_pages(spark, landing_dir,
                                       max_files_per_trigger=max_files_per_trigger))
 
@@ -223,6 +290,13 @@ def run_edge_ingest(
             last is not None
             and not catalog._load_meta(EDGES_TABLE).get("partition_by")
         )
+        # bucket modulus: the STORED table layout wins over the parameter
+        # (a mismatched modulus would compute `touched` under the new
+        # modulus against _bucket values written under the old one — the
+        # pruned anti-joins would miss rows and silently duplicate edges)
+        eb, record_edge_layout = _resolve_buckets(
+            catalog, EDGES_TABLE, edge_buckets, "src_id"
+        )
         batch_links = normalize_links(batch_df).persist()
         batch_edges = None
         try:
@@ -233,7 +307,7 @@ def run_edge_ingest(
             if not legacy:
                 batch_edges = batch_edges.withColumn(
                     "_bucket",
-                    F.pmod(F.hash("src_id"), F.lit(edge_buckets)).cast("int"),
+                    F.pmod(F.hash("src_id"), F.lit(eb)).cast("int"),
                 )
             batch_edges = batch_edges.persist()
             edges = batch_edges
@@ -266,6 +340,7 @@ def run_edge_ingest(
                     "stream_ckpt": checkpoint_dir,
                 },
                 partition_by=None if legacy else ["_bucket"],
+                layout=None if legacy else record_edge_layout,
             )
             if compact_after:
                 for table in (EDGES_TABLE, VERTICES_TABLE):
@@ -328,13 +403,21 @@ def migrate_edges_layout(
     if last is None:
         raise KeyError(f"table {table!r} has no snapshots to migrate")
     df = catalog.read(spark, table)
-    if "_bucket" not in df.columns:
-        df = df.withColumn(
-            "_bucket", F.pmod(F.hash(bucket_on), F.lit(buckets)).cast("int")
-        )
+    if "_bucket" in df.columns:
+        # re-derive under the NEW modulus — stale _bucket values under a
+        # different modulus are exactly the corruption the stored-layout
+        # contract prevents
+        df = df.drop("_bucket")
+    df = df.withColumn(
+        "_bucket", F.pmod(F.hash(bucket_on), F.lit(buckets)).cast("int")
+    )
     df = df.repartition(F.col("_bucket"))
     return catalog.overwrite(
-        table, df, props=dict(last["props"]), partition_by=["_bucket"]
+        table,
+        df,
+        props=dict(last["props"]),
+        partition_by=["_bucket"],
+        layout={"bucket_on": bucket_on, "buckets": buckets},
     )
 
 

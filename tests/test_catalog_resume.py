@@ -74,3 +74,32 @@ def test_metrics_lineage(spark, tmp_path, big_edges_df):
     assert row["run_id"] == "run1"
     assert abs(row["l2_delta"] - res.metrics[-1]["l2_delta"]) < 1e-15
     assert sum(x["rows"] for x in row["lineage"]) == BIG_N
+
+
+def test_catalog_single_writer_lock(spark, tmp_path):
+    """Two interleaved writers to one table → the second fails LOUDLY
+    (ConcurrentWriteError) while the first's snapshot commits intact;
+    a lock abandoned by a dead pid is stolen, not fatal."""
+    import pytest
+
+    from ps_pagerank_spark.plans.catalog import ConcurrentWriteError
+
+    cat = Catalog(str(tmp_path / "cw"))
+    df = spark.range(3).selectExpr("id AS x")
+    cat.overwrite("t", df, props={"k": 1})
+
+    # simulate writer A mid-commit: its lock is on disk with a LIVE pid
+    lock = cat._acquire_lock("t")
+    with pytest.raises(ConcurrentWriteError):
+        cat.append("t", df, props={"k": 2})
+    # nothing was lost or half-committed by the failed writer
+    assert [s["id"] for s in cat.snapshots("t")] == [1]
+    assert cat.read(spark, "t").count() == 3
+    lock.unlink()
+
+    # writer that died mid-commit: lock file with a dead pid → stolen
+    cat._lock_path("t").write_text("999999999")
+    s2 = cat.append("t", df, props={"k": 2})
+    assert s2 == 2
+    assert cat.read(spark, "t").count() == 6
+    assert not cat._lock_path("t").exists()

@@ -116,6 +116,29 @@ def test_ngram_jaccard_exact(spark):
     assert rows[0]["jaccard_u"] == 500000  # 2/4
 
 
+def test_ngram_jaccard_df_cap_drops_boilerplate(spark):
+    """The default max_shingle_df cap must prune boilerplate shingles
+    BEFORE the inverted-index self-join (the quadratic term at crawl
+    scale): docs sharing ONLY a boilerplate shingle stop pairing, while
+    the uncapped exact mode still pairs them."""
+    from ps_pagerank_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved"  # the one shingle every doc shares
+    docs = [f"u{i} v{i} {boiler}" for i in range(8)]
+    df = _docs(spark, docs)
+    exact = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=None)
+    capped = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=4)
+    n_exact, n_capped = exact.count(), capped.count()
+    assert n_exact == 8 * 7 // 2  # every pair connected via boilerplate
+    assert n_capped == 0  # cap kills the only connecting shingle
+    # default IS capped (1000 > 8 docs here, so behavior matches exact on
+    # this tiny fixture — the signature default just must not be None)
+    import inspect
+
+    sig = inspect.signature(ngram_jaccard_pairs)
+    assert sig.parameters["max_shingle_df"].default == 1000
+
+
 def test_cosine_topk_hand_vectors(spark):
     from ps_pagerank_spark.operators.similarity import cosine_topk
 

@@ -355,6 +355,51 @@ def test_bucketed_dictionary_prunes_scan(spark, dirs):
         os.remove(poison)
 
 
+def test_bucket_modulus_is_stored_not_trusted(spark, dirs):
+    """The bucket modulus is recorded in the table layout at creation and
+    WINS thereafter: a later ingest run passing a different edge_buckets/
+    url_buckets raises loudly instead of probing with the wrong modulus
+    (which would miss existing rows in the pruned anti-joins and silently
+    duplicate urls/edges); passing None (the default) picks up the stored
+    layout, and migrate_edges_layout is the sanctioned way to change it."""
+    from ps_pagerank_spark.streaming.ingest import migrate_edges_layout
+
+    cat = Catalog(dirs["catalog"])
+    _write_pages(spark, [(0, 1), (1, 2), (2, 0)], dirs["landing"])
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"],
+                    edge_buckets=8, url_buckets=8)
+    assert cat.layout("edges") == {"bucket_on": "src_id", "buckets": 8}
+    assert cat.layout("vertices") == {"bucket_on": "url", "buckets": 8}
+
+    # a mismatched explicit modulus must raise, not silently corrupt
+    _write_pages(spark, [(3, 0), (3, 4)], dirs["landing"],
+                 only_vertices=[3, 4])
+    with pytest.raises(Exception, match="stored layout wins"):
+        run_edge_ingest(spark, dirs["landing"], cat,
+                        checkpoint_dir=dirs["ckpt"], edge_buckets=16)
+
+    # default (None) follows the stored layout; ingest works and dedups
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"])
+    edges = cat.read(spark, "edges")
+    assert edges.count() == 5
+    assert len({(r["src_id"], r["dst_id"]) for r in edges.collect()}) == 5
+    v = cat.read(spark, "vertices")
+    assert v.count() == v.select("url").distinct().count() == 5
+
+    # migration re-derives _bucket under the new modulus and re-records it
+    migrate_edges_layout(spark, cat, buckets=16)
+    assert cat.layout("edges") == {"bucket_on": "src_id", "buckets": 16}
+    _write_pages(spark, [(4, 1)], dirs["landing"], only_vertices=[4])
+    run_edge_ingest(spark, dirs["landing"], cat, checkpoint_dir=dirs["ckpt"])
+    migrated = cat.read(spark, "edges")
+    assert migrated.count() == 6
+    # every stored _bucket agrees with the new modulus (no stale values)
+    bad = migrated.filter(
+        F.col("_bucket") != F.pmod(F.hash("src_id"), F.lit(16)).cast("int")
+    )
+    assert bad.count() == 0
+
+
 def test_auto_compaction_bounds_reader_plan(spark, dirs):
     """Catalog.read unions one scan per appended snapshot dir; without
     compaction a long-running ingest makes the plan unboundedly deep. The

@@ -137,14 +137,25 @@ def synth_powerlaw_edges(
     return np.stack([src, dst], axis=1).astype(np.int64)
 
 
-def synth_pages_distributed(
+def _url_expr(v):
+    """Column analog of ``url_of`` (``%06d`` pads but NEVER truncates —
+    ``F.lpad`` silently truncates longer strings, which above 1M vertices
+    would collide urls and corrupt the synthetic graph)."""
+    return F.format_string(
+        "https://site%03d.example/p%06d.html",
+        (v % N_SITES).cast("int"),
+        v.cast("long"),
+    )
+
+
+def synth_edges_distributed(
     spark: SparkSession, n_vertices: int, avg_out_degree: int = 16, seed: int = 42
 ) -> DataFrame:
-    """Fully-distributed deterministic pages synthesizer for benchmarks.
+    """The deterministic (v, dst_v, k) anchor list behind
+    ``synth_pages_distributed`` — exposed so benchmarks can compute the
+    EXACT expected extraction output (distinct (v, dst_v) pairs) and check
+    the extractor end-to-end against the generator.
 
-    Uses ``spark.range`` + hash arithmetic (xxhash64) so the same
-    (n_vertices, avg_out_degree, seed) always yields the same table at any
-    parallelism — no driver-side materialization, scales to any size.
     Out-degree varies 1..2*avg; destination popularity is skewed by squaring
     a uniform hash (quadratic preferential attachment stand-in).
     """
@@ -152,7 +163,7 @@ def synth_pages_distributed(
     deg = (F.xxhash64(F.col("v"), F.lit(seed)) % (2 * avg_out_degree - 1) + (2 * avg_out_degree - 1)) % (
         2 * avg_out_degree - 1
     ) + 1
-    edges = (
+    return (
         v.withColumn("deg", deg)
         .withColumn("k", F.explode(F.sequence(F.lit(0), F.col("deg") - 1)))
         .withColumn("h", F.abs(F.xxhash64("v", "k", F.lit(seed + 1))))
@@ -167,6 +178,19 @@ def synth_pages_distributed(
         .filter(F.col("dst_v") != F.col("v"))
         .select("v", "dst_v", "k")
     )
+
+
+def synth_pages_distributed(
+    spark: SparkSession, n_vertices: int, avg_out_degree: int = 16, seed: int = 42
+) -> DataFrame:
+    """Fully-distributed deterministic pages synthesizer for benchmarks.
+
+    Uses ``spark.range`` + hash arithmetic (xxhash64) so the same
+    (n_vertices, avg_out_degree, seed) always yields the same table at any
+    parallelism — no driver-side materialization, scales to any size.
+    """
+    v = spark.range(n_vertices).withColumnRenamed("id", "v")
+    edges = synth_edges_distributed(spark, n_vertices, avg_out_degree, seed)
     anchors = edges.groupBy("v").agg(
         F.concat_ws(
             "",
@@ -175,24 +199,16 @@ def synth_pages_distributed(
                     F.collect_list(F.struct(F.col("k"), F.col("dst_v")))
                 ),
                 lambda s: F.concat(
-                    F.lit('<a href="https://site'),
-                    F.lpad((s["dst_v"] % N_SITES).cast("string"), 3, "0"),
-                    F.lit(".example/p"),
-                    F.lpad(s["dst_v"].cast("string"), 6, "0"),
-                    F.lit('.html">anchor '),
+                    F.lit('<a href="'),
+                    _url_expr(s["dst_v"]),
+                    F.lit('">anchor '),
                     s["k"].cast("string"),
                     F.lit("</a>"),
                 ),
             ),
         ).alias("anchors")
     )
-    url = F.concat(
-        F.lit("https://site"),
-        F.lpad((F.col("v") % N_SITES).cast("string"), 3, "0"),
-        F.lit(".example/p"),
-        F.lpad(F.col("v").cast("string"), 6, "0"),
-        F.lit(".html"),
-    )
+    url = _url_expr(F.col("v"))
     body_text = F.concat(
         F.lit("<p>text of page "),
         F.col("v").cast("string"),

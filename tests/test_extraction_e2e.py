@@ -128,6 +128,47 @@ def test_random_graph_vs_oracle(spark, dangling_mode):
     assert np.allclose(got, want, atol=1e-6, rtol=0)
 
 
+def test_url_expr_no_truncation_above_1m(spark):
+    """Regression: the distributed synthesizer once built urls with
+    ``F.lpad(..., 6, '0')``, which TRUNCATES ids longer than 6 digits —
+    above 1M vertices distinct pages collided onto one url. The column
+    expression must match ``url_of`` exactly at any id."""
+    from ps_pagerank_spark.sources.pages import _url_expr
+
+    ids = [0, 7, 999_999, 1_000_000, 1_234_567, 4_000_000]
+    df = spark.createDataFrame([(i,) for i in ids], "v long").select(
+        "v", _url_expr(F.col("v")).alias("url")
+    )
+    got = {r["v"]: r["url"] for r in df.collect()}
+    assert got == {i: url_of(i) for i in ids}
+
+
+def test_synth_pages_distributed_extracts_generator_edges(spark):
+    """synth_pages_distributed → extract_links must reproduce EXACTLY the
+    generator's distinct (src, dst) pairs (the expected-count contract the
+    large-scale E2E benchmark asserts, BENCH/e2e_pages.py)."""
+    from ps_pagerank_spark.sources.pages import (
+        synth_edges_distributed,
+        synth_pages_distributed,
+    )
+
+    n = 400
+    pages = synth_pages_distributed(spark, n, avg_out_degree=5, seed=11)
+    links = extract_links(pages)
+    got = {
+        (r["src_url"], r["dst_url"]) for r in links.collect()
+    }
+    want = {
+        (url_of(r["v"]), url_of(r["dst_v"]))
+        for r in synth_edges_distributed(spark, n, 5, 11)
+        .dropDuplicates(["v", "dst_v"])
+        .collect()
+    }
+    assert got == want
+    # per-page first-occurrence dedupe means counts match too (no dupes)
+    assert links.count() == len(want)
+
+
 def test_partition_invariance(spark):
     """SURVEY §5.2 item 6: identical scores at 2 / 8 / 32 partitions."""
     rng = np.random.default_rng(7)

@@ -78,11 +78,23 @@ from ps_pagerank_spark.operators.graph import (
 
 D_DEFAULT = 0.85
 EPS_DEFAULT = 1e-8  # c-single-threaded/pagerank.c:19
-# loop_aqe="auto": disable AQE inside the iteration loop only when the
-# rank state carries at least this many rows per partition — below it the
-# P fixed tiny tasks cost more than the two removed rank-vector exchanges
-# save (measured A/B, BENCH/BASELINE.md §4).
+# loop_aqe="auto", csr_block kernel: disable AQE inside the iteration loop
+# only when the rank state carries at least this many rows per partition —
+# below it the P fixed tiny tasks cost more than the two removed
+# rank-vector exchanges save (measured A/B, BENCH/BASELINE.md §4). The
+# join kernel ignores this (its shuffle-bound loop wins with AQE off at
+# every measured size).
 LOOP_AQE_MIN_ROWS_PER_PARTITION = 25_000
+
+
+def _loop_aqe_off(loop_aqe: str, kernel: str, n: int, P: int) -> bool:
+    """Should AQE be disabled around the iteration loop? (see the comment
+    at the call site in _pagerank_impl for the measured rationale)"""
+    if loop_aqe == "off":
+        return True
+    if loop_aqe != "auto":
+        return False
+    return kernel == "join" or n >= LOOP_AQE_MIN_ROWS_PER_PARTITION * P
 
 
 @dataclass
@@ -336,16 +348,17 @@ def _pagerank_impl(
     # the rank vector. Prep above keeps the session's AQE — its one-shot
     # joins/aggs are what AQE is good at (measured ~2x prep win).
     #
-    # loop_aqe="auto" gates the switch on state size: the exchange
-    # removal saves ~2·n rank rows of shuffle per iteration, but fixes
-    # every loop stage at P tasks — on a near-empty state (few rows per
-    # partition) the per-task floor costs more than the exchanges save,
-    # which is exactly the round-4 sf0.1 regression (A/B table in
-    # BENCH/BASELINE.md §4). AQE's coalescing shrinks those tiny stages
-    # to ~1 task, so small graphs keep AQE on.
-    aqe_off = loop_aqe == "off" or (
-        loop_aqe == "auto" and n >= LOOP_AQE_MIN_ROWS_PER_PARTITION * P
-    )
+    # loop_aqe="auto" is kernel-aware (measured A/B, BENCH/BASELINE.md §4):
+    # the JOIN kernel's loop is shuffle-bound (gather join + contrib agg +
+    # update join), so removing the two rank exchanges wins at EVERY
+    # measured size (sf0.1: 0.261 vs 0.389 s/iter; 64M: 3.16 vs 3.31) —
+    # always off. The CSR_BLOCK kernel's loop carries only the rank state;
+    # with AQE off a near-empty state runs P fixed tiny tasks whose
+    # scheduling floor costs more than the exchanges save (sf0.1: 0.616 vs
+    # 0.440 — the round-4 regression), while at real sizes off wins (64M:
+    # 3.51 vs 3.59) — so it gates on rows per partition, letting AQE
+    # coalesce the tiny stages on small graphs.
+    aqe_off = _loop_aqe_off(loop_aqe, kernel, n, P)
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         if aqe_off:

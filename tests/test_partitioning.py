@@ -119,3 +119,25 @@ def test_update_join_reuses_agg_exchange_at_custom_P(spark, big_edges_df):
             spark.conf.set(k, v)
         if wedges is not None:
             wedges.unpersist()
+
+
+def test_loop_aqe_auto_gate_is_kernel_aware():
+    """loop_aqe="auto" policy pinned to the measured A/B (BENCH/BASELINE.md
+    §4): join = always off (wins at every measured size); csr_block = off
+    only when the state carries ≥ threshold rows per partition (P fixed
+    tiny tasks lose on near-empty states — the round-4 sf0.1 regression)."""
+    from ps_pagerank_spark.operators.pagerank import (
+        LOOP_AQE_MIN_ROWS_PER_PARTITION as T,
+        _loop_aqe_off,
+    )
+
+    # explicit settings win regardless of kernel/size
+    assert _loop_aqe_off("off", "csr_block", 1, 32)
+    assert not _loop_aqe_off("on", "join", 10 * T * 32, 32)
+    # auto: join always off
+    assert _loop_aqe_off("auto", "join", 21_000, 32)
+    assert _loop_aqe_off("auto", "join", 10 * T * 32, 32)
+    # auto: csr_block gates on rows per partition
+    assert not _loop_aqe_off("auto", "csr_block", 21_000, 32)  # sf0.1 shape
+    assert _loop_aqe_off("auto", "csr_block", T * 32, 32)  # 64M shape
+    assert _loop_aqe_off("auto", "csr_block", T * 4, 4)

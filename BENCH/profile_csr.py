@@ -219,26 +219,39 @@ def main() -> None:
     phases: dict[str, float] = {"block_build_s": t_block_build}
     walls: dict[str, list[float]] = {}
 
-    def run(tag, fn):
-        phases[tag], walls[tag] = median_of(fn)
-
+    # Interleave the ladder rungs ROUND-ROBIN (rep 0 of every rung, then
+    # rep 1 of every rung, ...) so a sandbox stall window degrades one rep
+    # of each rung instead of every rep of one rung — the round-4 profile
+    # run recorded E=50s / F=4.5s (a subset "costing" 11x its superset)
+    # precisely because three consecutive E reps landed in a stall.
     sch = "vertex_id long, _p double"
-    run("A_state_stream", lambda: keyed.mapInArrow(consume_only, sch).count())
-    run("B_block_touch", lambda: keyed.mapInArrow(touch_blocks, sch).count())
-    run(
-        "C_kernel_compute",
-        lambda: keyed.mapInArrow(kernel_compute(False), sch).count(),
-    )
-    run(
-        "D_emit_partials",
-        lambda: keyed.mapInArrow(kernel_compute(True), sch).count(),
-    )
-    run(
-        "E_shuffle_agg",
-        lambda: _gather_scatter_blocks(state, store, P)
-        .agg(F.sum("_c"))
-        .collect(),
-    )
+    rungs = [
+        ("A_state_stream", lambda: keyed.mapInArrow(consume_only, sch).count()),
+        ("B_block_touch", lambda: keyed.mapInArrow(touch_blocks, sch).count()),
+        (
+            "C_kernel_compute",
+            lambda: keyed.mapInArrow(kernel_compute(False), sch).count(),
+        ),
+        (
+            "D_emit_partials",
+            lambda: keyed.mapInArrow(kernel_compute(True), sch).count(),
+        ),
+        (
+            "E_shuffle_agg",
+            lambda: _gather_scatter_blocks(state, store, P)
+            .agg(F.sum("_c"))
+            .collect(),
+        ),
+    ]
+    for tag, _ in rungs:
+        walls[tag] = []
+    for _rep in range(REPS):
+        for tag, fn in rungs:
+            t0 = time.perf_counter()
+            fn()
+            walls[tag].append(round(time.perf_counter() - t0, 3))
+    for tag, _ in rungs:
+        phases[tag] = statistics.median(walls[tag])
 
     res = pagerank(
         spark,

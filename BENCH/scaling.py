@@ -52,6 +52,16 @@ DTYPE = os.environ.get("SCALING_DTYPE", "float64")
 # handles 4x the data at the same per-iteration wall; efficiency is then
 # t_N / t_4N.
 MODE = os.environ.get("SCALING_MODE", "strong")
+# Fixed partition/bucket count across levels (default: max(cpus*2, 8) per
+# level). The csr_block partials cardinality is sum-over-buckets of
+# unique-dst-per-bucket, which GROWS with the bucket count P — letting P
+# track cores conflates "more cores" with "more aggregation work". On a
+# real cluster P is set by data volume (targeting fixed bucket bytes),
+# not by cluster width, so the criterion-faithful strong-scaling run
+# pins P across the pair: SCALING_P=16.
+FIXED_P = (
+    int(os.environ["SCALING_P"]) if os.environ.get("SCALING_P") else None
+)
 # parallelism levels to run (comma-separated); efficiency is reported for
 # every (c, 4c) pair present. local[1]->local[4] is the pair where neither
 # level saturates the box's shared memory bus — the closest local-mode
@@ -93,7 +103,9 @@ def run_level(cpus: int) -> dict:
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name=f"scaling_{cpus}",
-        extra_conf={"spark.sql.shuffle.partitions": str(max(cpus * 2, 8))},
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(FIXED_P or max(cpus * 2, 8))
+        },
     )
     lvl_edges = _level_edges(cpus)
     edges = synthetic_edges(spark, lvl_edges, lvl_edges // 16).persist()
@@ -106,7 +118,7 @@ def run_level(cpus: int) -> dict:
         kernel=KERNEL,
         gather=GATHER,
         dtype=DTYPE,
-        num_partitions=max(cpus * 2, 8),
+        num_partitions=FIXED_P or max(cpus * 2, 8),
     )
     res.ranks.count()
     # drop iteration 1 (cache/JIT warmup); median per-iteration time is
@@ -121,6 +133,7 @@ def run_level(cpus: int) -> dict:
     spark.stop()
     return {
         "cpus": cpus,
+        "P": FIXED_P or max(cpus * 2, 8),
         "n_edges": n_edges,
         "iters_measured": len(steady),
         "iter_seconds": [round(s, 2) for s in steady],
@@ -166,6 +179,7 @@ def main() -> None:
         "gather": GATHER,
         "dtype": DTYPE,
         "mode": MODE,
+        "P": {str(c): r["P"] for c, r in results.items()},
         "n_edges": results[LEVELS[0]]["n_edges"],
         "iters_measured": ITERS - 1,
         "levels": {

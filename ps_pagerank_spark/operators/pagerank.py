@@ -97,6 +97,44 @@ def _loop_aqe_off(loop_aqe: str, kernel: str, n: int, P: int) -> bool:
     return kernel == "join" or n >= LOOP_AQE_MIN_ROWS_PER_PARTITION * P
 
 
+# Tiny-graph loop-partition floor (measured sweep, BENCH/BASELINE.md §4):
+# at the session's cores-tracking default P, a small graph runs P
+# near-empty tasks per loop stage AND duplicates each dst's partial
+# across up to P source buckets. Sizing P to the data (~400k edges per
+# bucket) cut the sf0.1 (1.62M-edge) best-rep median iteration
+# 0.451 -> 0.360 s (csr_block, P=2) and 0.254 -> 0.193 s (join, P=8).
+# Applied only when num_partitions is not given AND the input is provably
+# small: the decision reads Catalyst's sizeInBytes (free — no scan) and
+# only pays an exact count() when that estimate is already under
+# SMALL_GRAPH_STATS_BYTES. Unpersisted multi-join inputs carry wild
+# product-of-children overestimates and RDD-backed frames report
+# defaultSizeInBytes (Long.Max) — both conservatively keep the session
+# default, so a 100 TB input can never be mis-sized down.
+LOOP_EDGES_PER_BUCKET = 400_000
+SMALL_GRAPH_STATS_BYTES = 256 << 20
+
+
+def _auto_partitions(spark: SparkSession, edges: DataFrame, default_p: int) -> int:
+    """Loop partition count when the caller didn't pin one: the session
+    default, floored to ceil(n_edges / LOOP_EDGES_PER_BUCKET) for inputs
+    that are provably tiny. Never raises P above the session default."""
+    if default_p <= 1:
+        return default_p
+    try:
+        # fresh Dataset handle: a memoized QueryExecution on `edges` may
+        # predate a persist() and still carry the un-cached estimate
+        est = int(str(
+            edges.select("*")._jdf.queryExecution().optimizedPlan()
+            .stats().sizeInBytes()
+        ))
+    except Exception:  # internal stats API unavailable: keep the default
+        return default_p
+    if est >= SMALL_GRAPH_STATS_BYTES:
+        return default_p
+    n_edges = edges.count()  # provably small -> exact count is cheap
+    return max(1, min(default_p, -(-n_edges // LOOP_EDGES_PER_BUCKET)))
+
+
 @dataclass
 class PageRankResult:
     ranks: DataFrame  # (vertex_id long, rank double)
@@ -132,8 +170,12 @@ def pagerank(spark: SparkSession, edges: DataFrame, **kwargs) -> PageRankResult:
     full parameter list and semantics (this wrapper forwards everything;
     unknown kwargs still raise TypeError).
 
-    ``spark.sql.shuffle.partitions`` is pinned to P for the duration of
-    the run (and restored after, even on failure): the contribs
+    P defaults to the session's shuffle-partition count, floored to
+    ceil(n_edges / LOOP_EDGES_PER_BUCKET) when the input is provably tiny
+    (see _auto_partitions — a conservative Catalyst-stats probe; explicit
+    ``num_partitions`` always wins). ``spark.sql.shuffle.partitions`` is
+    then pinned to P for the duration of the run (and restored after,
+    even on failure): the contribs
     aggregation then lands on hash(dst_id, P), the same partitioning the
     rank state carries, so the per-iteration update join streams BOTH
     sides with no re-exchange of the rank vector. With a mismatched conf
@@ -163,10 +205,12 @@ def pagerank(spark: SparkSession, edges: DataFrame, **kwargs) -> PageRankResult:
     created it, which is why this function cannot transparently clone.
     """
     prev_p = spark.conf.get("spark.sql.shuffle.partitions")
-    P = kwargs.get("num_partitions") or int(prev_p)
+    P = kwargs.get("num_partitions") or _auto_partitions(
+        spark, edges, int(prev_p)
+    )
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(P))
-        return _pagerank_impl(spark, edges, **kwargs)
+        return _pagerank_impl(spark, edges, **{**kwargs, "num_partitions": P})
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_p)
 

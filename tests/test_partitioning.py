@@ -141,3 +141,42 @@ def test_loop_aqe_auto_gate_is_kernel_aware():
     assert not _loop_aqe_off("auto", "csr_block", 21_000, 32)  # sf0.1 shape
     assert _loop_aqe_off("auto", "csr_block", T * 32, 32)  # 64M shape
     assert _loop_aqe_off("auto", "csr_block", T * 4, 4)
+
+
+def test_auto_partitions_tiny_graph_floor(spark, big_edges_df, tmp_path):
+    """Tiny-graph loop-partition floor (BENCH/BASELINE.md §4 sweep): a
+    provably-small input gets P sized to the data instead of the
+    cores-tracking session default; inputs whose size Catalyst cannot
+    bound (RDD-backed frames report defaultSizeInBytes) conservatively
+    keep the default, so a huge input can never be mis-sized down."""
+    import math as _math
+
+    from ps_pagerank_spark.operators.pagerank import (
+        LOOP_EDGES_PER_BUCKET,
+        _auto_partitions,
+        pagerank,
+    )
+
+    # parquet-backed: exact file-size stats -> provably small -> floor
+    pdir = str(tmp_path / "edges_parquet")
+    big_edges_df.write.parquet(pdir)
+    tiny = spark.read.parquet(pdir)
+    assert _auto_partitions(spark, tiny, 32) == 1
+    assert _auto_partitions(spark, tiny, 1) == 1  # never raised
+    # uncached RDD-backed frame (createDataFrame from a list): Catalyst
+    # reports defaultSizeInBytes (unknown) -> conservatively keep default
+    uncached = edges_from_pairs(spark, [(1, 2), (2, 1)])
+    assert _auto_partitions(spark, uncached, 32) == 32
+    # ...but once cached+materialized the exact in-memory size is known
+    assert _auto_partitions(spark, big_edges_df, 32) == 1
+    # the floor only changes the physical layout, never the scores
+    auto = pagerank(spark, tiny, fixed_iterations=8,
+                    dangling_mode="redistribute")
+    pinned = pagerank(spark, big_edges_df, fixed_iterations=8,
+                      dangling_mode="redistribute", num_partitions=4)
+    a = {r["vertex_id"]: r["rank"] for r in auto.ranks.collect()}
+    b = {r["vertex_id"]: r["rank"] for r in pinned.ranks.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert _math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15)
+    assert LOOP_EDGES_PER_BUCKET >= 100_000  # floor target stays coarse

@@ -110,7 +110,23 @@ def main() -> None:
             "rep_phases": [r.phases for r in results],
         }
 
-    # headline: join-kernel PageRank to 1e-6, dangling redistribution
+    # headline: PageRank to 1e-6 as a user invokes it — kernel="auto"
+    # (the engine default) resolves join vs csr_block from the same
+    # Catalyst-stats probe that sizes the loop partitions; at sf0.1 the
+    # input is provably small so this measures the auto-selected kernel
+    # end-to-end (probe included)
+    runs_auto = []
+    queries["pagerank_auto_1e6"], rep_walls["pagerank_auto_1e6"], _ = median_of(
+        lambda: runs_auto.append(
+            pagerank(spark, edges, eps=EPS, dangling_mode="redistribute")
+        )
+        or runs_auto[-1].ranks.count(),
+        spark=spark,
+    )
+    extra["pagerank_auto"] = pr_detail(runs_auto)
+    extra["pagerank_auto"]["kernel_selected"] = runs_auto[-1].kernel
+
+    # explicit join-kernel PageRank to 1e-6, dangling redistribution
     runs_join = []
     queries["pagerank_join_1e6"], rep_walls["pagerank_join_1e6"], _ = median_of(
         lambda: runs_join.append(
@@ -193,11 +209,12 @@ def main() -> None:
     extra["reps"] = REPS
     extra["rep_walls"] = rep_walls
 
-    # headline = csr_block, the north-star kernel (per-partition CSR-block
-    # gather-scatter in Arrow UDFs over a resident block store)
+    # headline = the engine-default kernel="auto" run (join below the
+    # measured block-store amortization point, csr_block at scale); the
+    # explicit join/csr_block runs above stay in the record as the A/B
     out = {
         "metric": "pagerank_edges_per_sec_per_iter@1e-6",
-        "value": extra["pagerank_csr_block"]["edges_per_sec_per_iter"],
+        "value": extra["pagerank_auto"]["edges_per_sec_per_iter"],
         "unit": "edges/s",
         "queries": queries,
         "sf": _sf_of(SF_DIR),

@@ -39,7 +39,11 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument(
         "--dangling", choices=["none", "redistribute"], default="redistribute"
     )
-    ap.add_argument("--kernel", choices=["join", "csr_block"], default="join")
+    ap.add_argument(
+        "--kernel", choices=["auto", "join", "csr_block"], default="auto",
+        help="'auto' picks join for provably-small inputs, csr_block "
+        "otherwise (measured crossover, BENCH/BASELINE.md §4)",
+    )
     ap.add_argument(
         "--gather", choices=["auto", "shuffle", "broadcast"], default="auto"
     )

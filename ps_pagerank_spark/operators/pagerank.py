@@ -114,12 +114,12 @@ LOOP_EDGES_PER_BUCKET = 400_000
 SMALL_GRAPH_STATS_BYTES = 256 << 20
 
 
-def _auto_partitions(spark: SparkSession, edges: DataFrame, default_p: int) -> int:
-    """Loop partition count when the caller didn't pin one: the session
-    default, floored to ceil(n_edges / LOOP_EDGES_PER_BUCKET) for inputs
-    that are provably tiny. Never raises P above the session default."""
-    if default_p <= 1:
-        return default_p
+def _catalyst_small_count(edges: DataFrame) -> "int | None":
+    """Exact edge count IF Catalyst's free sizeInBytes estimate proves the
+    input small (< SMALL_GRAPH_STATS_BYTES), else None. Unknown sizes
+    (RDD-backed frames report defaultSizeInBytes = Long.Max) and anything
+    large return None — a 100 TB input never pays the count() and is never
+    treated as small."""
     try:
         # fresh Dataset handle: a memoized QueryExecution on `edges` may
         # predate a persist() and still carry the un-cached estimate
@@ -127,12 +127,21 @@ def _auto_partitions(spark: SparkSession, edges: DataFrame, default_p: int) -> i
             edges.select("*")._jdf.queryExecution().optimizedPlan()
             .stats().sizeInBytes()
         ))
-    except Exception:  # internal stats API unavailable: keep the default
-        return default_p
+    except Exception:  # internal stats API unavailable: treat as unknown
+        return None
     if est >= SMALL_GRAPH_STATS_BYTES:
+        return None
+    return edges.count()  # provably small -> exact count is cheap
+
+
+def _auto_partitions(default_p: int, small_n: "int | None") -> int:
+    """Loop partition count when the caller didn't pin one: the session
+    default, floored to ceil(n_edges / LOOP_EDGES_PER_BUCKET) for inputs
+    that are provably tiny (small_n from _catalyst_small_count). Never
+    raises P above the session default."""
+    if default_p <= 1 or small_n is None:
         return default_p
-    n_edges = edges.count()  # provably small -> exact count is cheap
-    return max(1, min(default_p, -(-n_edges // LOOP_EDGES_PER_BUCKET)))
+    return max(1, min(default_p, -(-small_n // LOOP_EDGES_PER_BUCKET)))
 
 
 @dataclass
@@ -145,6 +154,8 @@ class PageRankResult:
     # (c-single-threaded/pagerank.c:318-330): prep_s = vertex/edge/state
     # materialization, blocks_s = csr_block store upload, conv_s = loop
     phases: dict = field(default_factory=dict)
+    # the kernel that actually ran (kernel="auto" resolves before the run)
+    kernel: str = ""
 
 
 def _split_hubs(wedges: DataFrame, outdeg: DataFrame, hub_threshold: int):
@@ -169,6 +180,17 @@ def pagerank(spark: SparkSession, edges: DataFrame, **kwargs) -> PageRankResult:
     """Run PageRank over edges(src_id, dst_id) — see _pagerank_impl for the
     full parameter list and semantics (this wrapper forwards everything;
     unknown kwargs still raise TypeError).
+
+    kernel defaults to "auto": the join kernel when the input is PROVABLY
+    small (the same conservative Catalyst-stats probe _auto_partitions
+    uses), the csr_block kernel otherwise. Measured crossover
+    (BENCH/BASELINE.md §4): below the block-store amortization point the
+    join kernel wins outright (sf0.1: 0.19 vs 0.36 s/iter, plus csr_block
+    pays a 1-3 s store build the short loop never recoups), while at and
+    beyond benchmark scale csr_block is the flagship (256M edges local[32]:
+    14.9 vs 17.8 s/iter, and zero edge bytes move per iteration — the
+    property that holds on a 1000-executor cluster). Unknown-size inputs
+    resolve to csr_block: at 100 TB "unknown" is never small.
 
     P defaults to the session's shuffle-partition count, floored to
     ceil(n_edges / LOOP_EDGES_PER_BUCKET) when the input is provably tiny
@@ -205,12 +227,20 @@ def pagerank(spark: SparkSession, edges: DataFrame, **kwargs) -> PageRankResult:
     created it, which is why this function cannot transparently clone.
     """
     prev_p = spark.conf.get("spark.sql.shuffle.partitions")
-    P = kwargs.get("num_partitions") or _auto_partitions(
-        spark, edges, int(prev_p)
+    kernel = kwargs.get("kernel", "auto")
+    # one shared probe serves both auto decisions (at most one count())
+    need_probe = kernel == "auto" or (
+        not kwargs.get("num_partitions") and int(prev_p) > 1
     )
+    small_n = _catalyst_small_count(edges) if need_probe else None
+    if kernel == "auto":
+        kernel = "join" if small_n is not None else "csr_block"
+    P = kwargs.get("num_partitions") or _auto_partitions(int(prev_p), small_n)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(P))
-        return _pagerank_impl(spark, edges, **{**kwargs, "num_partitions": P})
+        return _pagerank_impl(
+            spark, edges, **{**kwargs, "kernel": kernel, "num_partitions": P}
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_p)
 
@@ -291,7 +321,10 @@ def _pagerank_impl(
     if n == 0:  # degenerate input: no vertices, nothing to rank
         verts.unpersist()
         empty = spark.createDataFrame([], "vertex_id long, rank double")
-        return PageRankResult(ranks=empty, iterations=0, converged=True, metrics=[])
+        return PageRankResult(
+            ranks=empty, iterations=0, converged=True, metrics=[],
+            kernel=kernel,
+        )
     use_bcast = kernel == "join" and (
         gather == "broadcast"
         or (gather == "auto" and n <= broadcast_max_vertices)
@@ -451,6 +484,7 @@ def _pagerank_impl(
         converged=converged,
         metrics=metrics,
         phases=phases,
+        kernel=kernel,
     )
 
 
@@ -1222,7 +1256,10 @@ def pagerank_block(
     if n == 0:  # degenerate input: nothing to rank
         blocks.unpersist()
         empty = spark.createDataFrame([], "vertex_id long, rank double")
-        return PageRankResult(ranks=empty, iterations=0, converged=True, metrics=[])
+        return PageRankResult(
+            ranks=empty, iterations=0, converged=True, metrics=[],
+            kernel="block",
+        )
     exists = np.zeros(size, dtype=bool)
     exists[vids] = True
     dangling = np.zeros(size, dtype=bool)
@@ -1295,7 +1332,8 @@ def pagerank_block(
     ranks = spark.createDataFrame(ranks_pdf)
     blocks.unpersist()
     return PageRankResult(
-        ranks=ranks, iterations=it, converged=converged, metrics=metrics
+        ranks=ranks, iterations=it, converged=converged, metrics=metrics,
+        kernel="block",
     )
 
 

@@ -181,3 +181,42 @@ def test_csr_block_float32_fixed_point(spark, big_edges_df):
     a, b = _ranks_np(r64, n), _ranks_np(r32, n)
     assert np.abs(a - b).max() < 1e-6
     assert r32.iterations == r64.iterations
+
+
+def test_kernel_auto_selection(spark, big_edges_df, tmp_path):
+    """kernel="auto" (the default): join for provably-small inputs,
+    csr_block for unknown/large ones (measured crossover,
+    BENCH/BASELINE.md §4) — and the choice never changes scores."""
+    from ps_pagerank_spark.sources.edgelist import edges_from_pairs
+
+    pdir = str(tmp_path / "edges_auto_parquet")
+    big_edges_df.write.parquet(pdir)
+    small = spark.read.parquet(pdir)  # exact file stats -> provably small
+    res_small = pagerank(
+        spark, small, fixed_iterations=8, dangling_mode="redistribute"
+    )
+    assert res_small.kernel == "join"
+
+    # RDD-backed frame: Catalyst reports defaultSizeInBytes (unknown) ->
+    # the scale kernel. "Unknown" is never treated as small.
+    pairs = [(int(r["src_id"]), int(r["dst_id"])) for r in big_edges_df.collect()]
+    unknown = edges_from_pairs(spark, pairs)
+    res_unk = pagerank(
+        spark, unknown, fixed_iterations=8, dangling_mode="redistribute",
+        num_partitions=4,
+    )
+    assert res_unk.kernel == "csr_block"
+
+    # explicit kernels report themselves and auto matches them bit-for-bit
+    res_join = pagerank(
+        spark, small, fixed_iterations=8, dangling_mode="redistribute",
+        kernel="join",
+    )
+    assert res_join.kernel == "join"
+    a = {r["vertex_id"]: r["rank"] for r in res_small.ranks.collect()}
+    b = {r["vertex_id"]: r["rank"] for r in res_unk.ranks.collect()}
+    c = {r["vertex_id"]: r["rank"] for r in res_join.ranks.collect()}
+    assert a.keys() == b.keys() == c.keys()
+    for k in a:
+        assert a[k] == c[k]
+        assert np.isclose(a[k], b[k], rtol=1e-12, atol=1e-15)

@@ -47,13 +47,18 @@ def test_skew_stats(spark):
 
 def test_hub_split_matches_plain_pagerank(spark):
     edges = hub_graph(spark)
-    base = pagerank(spark, edges, fixed_iterations=10, dangling_mode="redistribute")
+    # kernel pinned: hub split is a join-kernel feature, and kernel="auto"
+    # would route this RDD-backed (unknown-size) input to csr_block,
+    # silently comparing csr_block to itself
+    base = pagerank(spark, edges, fixed_iterations=10,
+                    dangling_mode="redistribute", kernel="join")
     split = pagerank(
         spark,
         edges,
         fixed_iterations=10,
         dangling_mode="redistribute",
         hub_threshold=100,
+        kernel="join",
     )
     a = {r["vertex_id"]: r["rank"] for r in base.ranks.collect()}
     b = {r["vertex_id"]: r["rank"] for r in split.ranks.collect()}
@@ -154,6 +159,7 @@ def test_auto_partitions_tiny_graph_floor(spark, big_edges_df, tmp_path):
     from ps_pagerank_spark.operators.pagerank import (
         LOOP_EDGES_PER_BUCKET,
         _auto_partitions,
+        _catalyst_small_count,
         pagerank,
     )
 
@@ -161,14 +167,15 @@ def test_auto_partitions_tiny_graph_floor(spark, big_edges_df, tmp_path):
     pdir = str(tmp_path / "edges_parquet")
     big_edges_df.write.parquet(pdir)
     tiny = spark.read.parquet(pdir)
-    assert _auto_partitions(spark, tiny, 32) == 1
-    assert _auto_partitions(spark, tiny, 1) == 1  # never raised
+    assert _auto_partitions(32, _catalyst_small_count(tiny)) == 1
+    assert _auto_partitions(1, _catalyst_small_count(tiny)) == 1  # never raised
     # uncached RDD-backed frame (createDataFrame from a list): Catalyst
     # reports defaultSizeInBytes (unknown) -> conservatively keep default
     uncached = edges_from_pairs(spark, [(1, 2), (2, 1)])
-    assert _auto_partitions(spark, uncached, 32) == 32
+    assert _catalyst_small_count(uncached) is None
+    assert _auto_partitions(32, None) == 32
     # ...but once cached+materialized the exact in-memory size is known
-    assert _auto_partitions(spark, big_edges_df, 32) == 1
+    assert _auto_partitions(32, _catalyst_small_count(big_edges_df)) == 1
     # the floor only changes the physical layout, never the scores
     auto = pagerank(spark, tiny, fixed_iterations=8,
                     dangling_mode="redistribute")

@@ -120,9 +120,29 @@ def main() -> None:
     t_block_build = round(time.perf_counter() - t0, 3)
     path, run_id, dtype = store.path, store.run_id, store.dtype
 
+    # two wire formats for the JVM->Python state stream: the SHIPPING one
+    # (long ids — the ladder's base) and the int32-narrowed variant, kept
+    # as its own rung so the narrowing question stays answerable by
+    # measurement. Measured at 64M/4M (round 5): the variant is flat to
+    # slightly NEGATIVE (steady ~1.27s long vs ~1.37s int32) — the stream
+    # is overhead-bound, not bandwidth-bound, at 32 MB/iter, so the
+    # kernel ships long ids (BENCH/BASELINE.md §5 V4).
     keyed = state.select(
         F.pmod(F.hash("vertex_id"), F.lit(P)).cast("int").alias("pkey"),
         "vertex_id",
+        "rank",
+    )
+    ids32 = (
+        -(2**31) <= store.min_dst
+        and store.max_dst < 2**31
+        and -(2**31) <= store.min_src
+        and store.max_src < 2**31
+    )
+    keyed32 = state.select(
+        F.pmod(F.hash("vertex_id"), F.lit(P)).cast("int").alias("pkey"),
+        (
+            F.col("vertex_id").cast("int") if ids32 else F.col("vertex_id")
+        ).alias("vertex_id"),
         "rank",
     )
 
@@ -227,6 +247,10 @@ def main() -> None:
     sch = "vertex_id long, _p double"
     rungs = [
         ("A_state_stream", lambda: keyed.mapInArrow(consume_only, sch).count()),
+        (
+            "A32_state_stream_narrow",
+            lambda: keyed32.mapInArrow(consume_only, sch).count(),
+        ),
         ("B_block_touch", lambda: keyed.mapInArrow(touch_blocks, sch).count()),
         (
             "C_kernel_compute",
@@ -274,8 +298,12 @@ def main() -> None:
         "dtype": DTYPE,
         "reps": REPS,
         "phases_s": phases,
+        "ids32_variant_available": ids32,
         "deltas_s": {
             "jvm_to_python_state_stream": phases["A_state_stream"],
+            "state_stream_narrowing_win": round(
+                phases["A_state_stream"] - phases["A32_state_stream_narrow"], 3
+            ),
             "block_io": round(phases["B_block_touch"] - phases["A_state_stream"], 3),
             "numpy_gather_scatter": round(
                 phases["C_kernel_compute"] - phases["B_block_touch"], 3

@@ -649,6 +649,13 @@ class _BlockStore:
     # partials cross Python→JVM with 4-byte ids
     min_dst: int = -(2**62)
     max_dst: int = 2**62
+    # src id bounds (from the build): recorded so the state-stream
+    # narrowing variant stays reproducible (BENCH/profile_csr.py measures
+    # it; the shipping kernel keeps long ids — measured no win, see
+    # _gather_scatter_blocks). Stores written before these fields keep
+    # the wide defaults.
+    min_src: int = -(2**62)
+    max_src: int = 2**62
 
 
 _STORE_VERSION = 2  # v2: per-src suw replaces per-edge w; narrowed dst/starts
@@ -851,6 +858,7 @@ def _build_csr_blocks(
         dst = tbl.column("dst_id").to_numpy()
         w = tbl.column("w").to_numpy().astype(dtype, copy=False)
         out_k, out_n, out_lo, out_hi = [], [], [], []
+        out_slo, out_shi = [], []
         for key in np.unique(pk):
             m = pk == key
             s, t, ww = src[m], dst[m], w[m]
@@ -888,14 +896,18 @@ def _build_csr_blocks(
             out_n.append(int(len(s)))
             out_lo.append(int(t[0]))  # dst-sorted: [0] is the min
             out_hi.append(int(t[-1]))
+            out_slo.append(int(su[0]))  # su is sorted (np.unique)
+            out_shi.append(int(su[-1]))
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(out_k, type=pa.int32()),
                 pa.array(out_n, type=pa.int64()),
                 pa.array(out_lo, type=pa.int64()),
                 pa.array(out_hi, type=pa.int64()),
+                pa.array(out_slo, type=pa.int64()),
+                pa.array(out_shi, type=pa.int64()),
             ],
-            names=["pkey", "n_edges", "min_dst", "max_dst"],
+            names=["pkey", "n_edges", "min_dst", "max_dst", "min_src", "max_src"],
         )
 
     keyed = wedges.select(
@@ -907,11 +919,17 @@ def _build_csr_blocks(
     if not aligned:
         keyed = keyed.repartition(P, "pkey")
     rows = keyed.mapInArrow(
-        build, schema="pkey int, n_edges long, min_dst long, max_dst long"
+        build,
+        schema=(
+            "pkey int, n_edges long, min_dst long, max_dst long, "
+            "min_src long, max_src long"
+        ),
     ).collect()
     n_edges = sum(r["n_edges"] for r in rows)
     min_dst = min((r["min_dst"] for r in rows), default=0)
     max_dst = max((r["max_dst"] for r in rows), default=0)
+    min_src = min((r["min_src"] for r in rows), default=0)
+    max_src = max((r["max_src"] for r in rows), default=0)
     # the manifest makes stale/missing stores fail LOUDLY: readers validate
     # run_id and only skip pkeys the manifest says have no block
     _store_write_bytes(
@@ -926,6 +944,8 @@ def _build_csr_blocks(
                 "edges_fp": fingerprint,
                 "min_dst": min_dst,
                 "max_dst": max_dst,
+                "min_src": min_src,
+                "max_src": max_src,
                 "pkeys": sorted(int(r["pkey"]) for r in rows),
             }
         ).encode(),
@@ -939,6 +959,8 @@ def _build_csr_blocks(
         num_buckets=len(rows),
         min_dst=min_dst,
         max_dst=max_dst,
+        min_src=min_src,
+        max_src=max_src,
     )
 
 
@@ -974,6 +996,8 @@ def _attach_csr_blocks(
         num_buckets=len(mf["pkeys"]),
         min_dst=mf.get("min_dst", -(2**62)),
         max_dst=mf.get("max_dst", 2**62),
+        min_src=mf.get("min_src", -(2**62)),
+        max_src=mf.get("max_src", 2**62),
     )
 
 
@@ -1015,6 +1039,13 @@ def _gather_scatter_blocks(
     id_np = np.int32 if use32 else np.int64
     val_pa = pa.float32() if f32 else pa.float64()
     val_np = np.float32 if f32 else np.float64
+    # The JVM→Python state stream deliberately KEEPS long vertex ids: the
+    # symmetric narrowing (int32 ids when the manifest's src+dst bounds
+    # fit) was measured flat-to-slightly-negative at 64M edges / 4M
+    # vertices — the stream is overhead-bound, not bandwidth-bound, at
+    # 32 MB/iter, and the narrowing cast adds JVM work per row
+    # (BENCH/BASELINE.md §5 variant V4; the A/B rung stays in
+    # BENCH/profile_csr.py so the call can be re-measured at larger V).
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         got = list(batches)

@@ -220,3 +220,30 @@ def test_kernel_auto_selection(spark, big_edges_df, tmp_path):
     for k in a:
         assert a[k] == c[k]
         assert np.isclose(a[k], b[k], rtol=1e-12, atol=1e-15)
+
+
+def test_wide_id_state_stream_kernel_equality(spark):
+    """Ids above int32 keep the wide (long) state stream: every other test
+    uses small ids and therefore exercises the int32-narrowed JVM→Python
+    stream, so this is the only pin on the fallback. Same micro-graph
+    shifted by 2^33 must produce the same scores from both kernels."""
+    from ps_pagerank_spark.sources.edgelist import edges_from_pairs
+    from tests.conftest import SMALL_EDGES
+
+    OFF = 2**33
+    pairs = [(s + OFF, t + OFF) for s, t in SMALL_EDGES]
+    edges_df = edges_from_pairs(spark, pairs)
+    res_block = pagerank(
+        spark, edges_df, dangling_mode="redistribute", kernel="csr_block",
+        num_partitions=4,
+    )
+    res_join = pagerank(
+        spark, edges_df, dangling_mode="redistribute", kernel="join",
+        num_partitions=4,
+    )
+    a = {r["vertex_id"]: r["rank"] for r in res_block.ranks.collect()}
+    b = {r["vertex_id"]: r["rank"] for r in res_join.ranks.collect()}
+    assert a.keys() == b.keys()
+    assert all(k >= OFF for k in a)
+    for k in a:
+        assert np.isclose(a[k], b[k], rtol=1e-12, atol=1e-15)

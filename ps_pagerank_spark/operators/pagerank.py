@@ -58,6 +58,7 @@ import math
 import os
 import shutil
 import tempfile
+import threading
 import time
 import uuid
 import warnings
@@ -78,6 +79,21 @@ from ps_pagerank_spark.operators.graph import (
 
 D_DEFAULT = 0.85
 EPS_DEFAULT = 1e-8  # c-single-threaded/pagerank.c:19
+
+# Enforces the documented single-tenant session contract: pagerank() pins
+# session-wide SQLConf (shuffle partitions; loop AQE) and restores it in
+# ``finally``, so two OVERLAPPING calls on the same SparkSession would
+# silently corrupt each other's conf (last-writer-wins restore). Rather
+# than corrupt, fail loudly and point at spark.newSession().
+_ACTIVE_SESSIONS: set[str] = set()
+_ACTIVE_LOCK = threading.Lock()
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:  # one SQLConf per JVM session — the thing the pins actually mutate
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # pragma: no cover — connect/mocked sessions
+        return str(id(spark))
 # loop_aqe="auto", csr_block kernel: disable AQE inside the iteration loop
 # only when the rank state carries at least this many rows per partition —
 # below it the P fixed tiny tasks cost more than the two removed
@@ -225,7 +241,29 @@ def pagerank(spark: SparkSession, edges: DataFrame, **kwargs) -> PageRankResult:
     shares the SparkContext/cache with isolated SQLConf) and build its
     DataFrames there; an edges DataFrame is bound to the session that
     created it, which is why this function cannot transparently clone.
+    Overlapping pagerank() calls on ONE session are rejected loudly
+    (RuntimeError) instead of silently corrupting each other's conf.
     """
+    skey = _session_key(spark)
+    with _ACTIVE_LOCK:
+        if skey in _ACTIVE_SESSIONS:
+            raise RuntimeError(
+                "pagerank() is already running on this SparkSession; the "
+                "run pins session-wide SQLConf (single-tenant contract). "
+                "Run the second job on spark.newSession() and build its "
+                "edges DataFrame there."
+            )
+        _ACTIVE_SESSIONS.add(skey)
+    try:
+        return _pagerank_conf_scoped(spark, edges, **kwargs)
+    finally:
+        with _ACTIVE_LOCK:
+            _ACTIVE_SESSIONS.discard(skey)
+
+
+def _pagerank_conf_scoped(
+    spark: SparkSession, edges: DataFrame, **kwargs
+) -> PageRankResult:
     prev_p = spark.conf.get("spark.sql.shuffle.partitions")
     kernel = kwargs.get("kernel", "auto")
     # one shared probe serves both auto decisions (at most one count())

@@ -187,3 +187,36 @@ def test_auto_partitions_tiny_graph_floor(spark, big_edges_df, tmp_path):
     for k in a:
         assert _math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15)
     assert LOOP_EDGES_PER_BUCKET >= 100_000  # floor target stays coarse
+
+
+def test_overlapping_pagerank_on_one_session_rejected(spark, big_edges_df):
+    """pagerank() pins session-wide SQLConf; a second overlapping call on
+    the SAME session must fail loudly (single-tenant contract) instead of
+    silently corrupting the first run's conf — and the guard must clear
+    even when the inner run raises."""
+    import pytest as _pytest
+
+    from ps_pagerank_spark.operators import pagerank as pr
+
+    inner_calls = []
+    real_impl = pr._pagerank_impl
+
+    def overlapping_impl(s, e, **kw):
+        inner_calls.append(kw["kernel"])
+        with _pytest.raises(RuntimeError, match="already running"):
+            pr.pagerank(s, e, fixed_iterations=1)
+        return real_impl(s, e, **kw)
+
+    pr._pagerank_impl = overlapping_impl
+    try:
+        res = pr.pagerank(spark, big_edges_df, fixed_iterations=2,
+                          dangling_mode="redistribute")
+        assert res.iterations == 2 and inner_calls
+    finally:
+        pr._pagerank_impl = real_impl
+
+    # guard is released after a failed run too
+    with _pytest.raises(TypeError):
+        pr.pagerank(spark, big_edges_df, not_a_kwarg=True)
+    res2 = pr.pagerank(spark, big_edges_df, fixed_iterations=1)
+    assert res2.iterations == 1

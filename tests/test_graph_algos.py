@@ -92,3 +92,45 @@ def test_triangles_guard_rejects_non_dense_ids(spark):
     )
     with pytest.raises(Exception, match="dictionary-dense"):
         triangle_counts(spark, bad, num_partitions=4).collect()
+
+
+def test_graph_job_cli_dispatch(spark, tmp_path):
+    """jobs/graph_job.py drives all three algorithms through the real CLI
+    path (argparse → catalog write) and the catalog tables match direct
+    library calls exactly."""
+    from jobs.graph_job import main
+    from ps_pagerank_spark.plans.catalog import Catalog
+
+    edges = edges_from_pairs(spark, BIG_EDGES)
+    edges_path = str(tmp_path / "edges_pq")
+    edges.write.parquet(edges_path)
+    cat_dir = str(tmp_path / "cat")
+
+    main(["components", "--edges", edges_path, "--catalog", cat_dir,
+          "--num-partitions", "4"], spark=spark)
+    main(["labelprop", "--edges", edges_path, "--catalog", cat_dir,
+          "--iterations", "3", "--num-partitions", "4"], spark=spark)
+    main(["triangles", "--edges", edges_path, "--catalog", cat_dir,
+          "--out", "tri", "--num-partitions", "4"], spark=spark)
+
+    cat = Catalog(cat_dir)
+    got_cc = {r["vertex_id"]: r["component"]
+              for r in cat.read(spark, "components").collect()}
+    want_cc = {r["vertex_id"]: r["component"]
+               for r in connected_components(
+                   spark, edges, num_partitions=4).components.collect()}
+    assert got_cc == want_cc
+
+    got_lp = {r["vertex_id"]: r["label"]
+              for r in cat.read(spark, "labelprop").collect()}
+    want_lp = {r["vertex_id"]: r["label"]
+               for r in label_propagation(
+                   spark, edges, iterations=3, num_partitions=4).collect()}
+    assert got_lp == want_lp
+
+    got_tri = {r["vertex_id"]: r["triangles"]
+               for r in cat.read(spark, "tri").collect()}
+    want_tri = {r["vertex_id"]: r["triangles"]
+                for r in triangle_counts(
+                    spark, edges, num_partitions=4).collect()}
+    assert got_tri == want_tri

@@ -129,6 +129,17 @@ def _loop_aqe_off(loop_aqe: str, kernel: str, n: int, P: int) -> bool:
 LOOP_EDGES_PER_BUCKET = 400_000
 SMALL_GRAPH_STATS_BYTES = 256 << 20
 
+# csr_block partial-aggregation mode: blob wins once the (bucket, dst)
+# partial cardinality dwarfs the rank state (measured A/B at 64M and sf0.1,
+# BENCH/BASELINE.md §5 V5); below the threshold the rows path's single
+# reused exchange is already cheap and blob's extra stage is pure overhead
+PARTIALS_BLOB_MIN_EDGES = 4_000_000
+# dense np.bincount combine only when the per-bucket id range fits a
+# modest array (64M slots = 512 MB float64 worst case is too big; 1<<26
+# slots = 512 MB/8 = 64 MB accumulator); exotic sparse ids fall back to
+# the sort-based combine
+_BLOB_DENSE_MAX = 1 << 26
+
 
 def _catalyst_small_count(edges: DataFrame) -> "int | None":
     """Exact edge count IF Catalyst's free sizeInBytes estimate proves the
@@ -303,6 +314,7 @@ def _pagerank_impl(
     checkpoint_table: str = "pagerank_ranks",
     block_dir: str | None = None,  # csr_block store (must be executor-visible)
     dtype: str = "float64",  # csr_block arithmetic: "float64" | "float32"
+    partials: str = "auto",  # csr_block partial agg: "auto" | "rows" | "blob"
     loop_aqe: str = "auto",  # iteration-loop AQE: "auto" | "on" | "off"
     start_state: DataFrame | None = None,  # resume: (vertex_id,dangling,rank)
     start_iter: int = 0,  # resume: iterations already done
@@ -341,6 +353,8 @@ def _pagerank_impl(
         raise ValueError(f"unknown gather {gather!r}")
     if loop_aqe not in ("auto", "on", "off"):
         raise ValueError(f"unknown loop_aqe {loop_aqe!r}")
+    if partials not in ("auto", "rows", "blob"):
+        raise ValueError(f"unknown partials {partials!r}")
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # setup cost discipline — exactly 3 actions before the loop (plus the
     # csr_block upload when selected): (1) vertex materialize+count, which
@@ -474,6 +488,13 @@ def _pagerank_impl(
     # 3.51 vs 3.59) — so it gates on rows per partition, letting AQE
     # coalesce the tiny stages on small graphs.
     aqe_off = _loop_aqe_off(loop_aqe, kernel, n, P)
+    # blob partial aggregation (csr_block only): measured win once the
+    # partial cardinality dwarfs the state (§5 V5); tiny graphs keep the
+    # rows path, whose one reused exchange is already cheap
+    blob_partials = kernel == "csr_block" and (
+        partials == "blob"
+        or (partials == "auto" and n_edges >= PARTIALS_BLOB_MIN_EDGES)
+    )
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         if aqe_off:
@@ -483,6 +504,7 @@ def _pagerank_impl(
             wedges,
             hub_part,
             store,
+            blob_partials=blob_partials,
             n=n,
             P=P,
             d=d,
@@ -532,6 +554,7 @@ def _iterate(
     hub_part,
     store: "_BlockStore | None",
     *,
+    blob_partials: bool = False,
     n: int,
     P: int,
     d: float,
@@ -582,7 +605,7 @@ def _iterate(
         base = (1.0 - d) / n + (d * dang_mass / n)
 
         if store is not None:
-            contribs = _gather_scatter_blocks(state, store, P)
+            contribs = _gather_scatter_blocks(state, store, P, blob=blob_partials)
         else:
             contribs = _gather_scatter_join(
                 state, wedges, hub_part, broadcast_ranks=use_bcast
@@ -1040,7 +1063,7 @@ def _attach_csr_blocks(
 
 
 def _gather_scatter_blocks(
-    state: DataFrame, store: _BlockStore, P: int
+    state: DataFrame, store: _BlockStore, P: int, blob: bool = False
 ) -> DataFrame:
     """Per-bucket CSR gather-scatter (J3 analog, opencl/kernel_csr.cl:18-33)
     over the resident block store — only the rank state moves per iteration.
@@ -1064,6 +1087,17 @@ def _gather_scatter_blocks(
     |edges|-wide scaled-rank gather + reduceat) runs at half the memory
     traffic. Since store v2 the per-edge arrays are index-only (sidx), so
     float width no longer touches the per-edge block bytes.
+
+    blob=True (V5, BENCH/BASELINE.md §5): identical per-bucket gather,
+    but the Σ_b unique-dst(b) partials never materialize as JVM rows —
+    each bucket splits its dst-sorted partials into ≤P contiguous
+    dst-range slices (free: one searchsorted) and ships them as packed
+    binary cells; a second Arrow stage combines each range densely
+    (np.bincount; sort fallback above _BLOB_DENSE_MAX ids per range) and
+    emits the globally-unique (vertex_id, _c) contribs directly. This
+    replaces the rows path's wide shuffle + two-level hash agg (the
+    measured 57% cost term) with a ≤P²-row blob exchange plus one |V|-row
+    contrib exchange into the update join.
     """
     path, dtype, run_id = store.path, store.dtype, store.run_id
     # Arrow respects element widths (unlike Spark's 8-byte-slot UnsafeRow),
@@ -1085,13 +1119,8 @@ def _gather_scatter_blocks(
     # (BENCH/BASELINE.md §5 variant V4; the A/B rung stays in
     # BENCH/profile_csr.py so the call can be re-measured at larger V).
 
-    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        got = list(batches)
-        if not got:
-            return
-        tbl = pa.Table.from_batches(got)
-        if tbl.num_rows == 0:
-            return
+    def _key_partials(tbl: pa.Table):
+        """Per-bucket gather-scatter: yields (dst_sorted, sums) per pkey."""
         have = _bucket_set(path, run_id)
         pk = tbl.column("pkey").to_numpy()
         vid = tbl.column("vertex_id").to_numpy()
@@ -1119,6 +1148,16 @@ def _gather_scatter_blocks(
             scaled = su_rank * suw
             vals = scaled[sidx]  # gather: val[k]·prevR[col[k]]
             sums = np.add.reduceat(vals, starts)  # CSR rowPtr scatter
+            yield dst, sums
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        got = list(batches)
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        if tbl.num_rows == 0:
+            return
+        for dst, sums in _key_partials(tbl):
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.asarray(dst).astype(id_np, copy=False), type=id_pa),
@@ -1127,18 +1166,125 @@ def _gather_scatter_blocks(
                 names=["vertex_id", "_p"],
             )
 
+    # ---- blob partial aggregation (V5, BENCH/BASELINE.md §5) ----
+    # The rows path above emits one JVM row per (bucket, dst) partial —
+    # Σ_b unique-dst(b) rows (≈14× |V| at 64M/P=64), whose shuffle + hash
+    # agg is the measured top cost term (57%) of a csr_block iteration.
+    # The blob path keeps the SAME per-bucket gather but ships the
+    # partials as ≤P packed binary cells per bucket, keyed by contiguous
+    # dst RANGE (free split: block dst arrays are sorted), and sums them
+    # densely (np.bincount) in a second Arrow stage — the per-key
+    # aggregation never materializes as JVM rows at all. The combine
+    # output is globally unique per vertex_id (ranges partition the id
+    # space), so it feeds the update join directly.
+    lo_id, hi_id = store.min_dst, store.max_dst
+    span = max(1, hi_id - lo_id + 1)
+    qwidth = -(-span // P)  # ceil: qkey = (dst - lo_id) // qwidth ∈ [0, P)
+
+    def gen_blob(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cuts = lo_id + qwidth * np.arange(1, P, dtype=np.int64)
+        got = list(batches)
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        if tbl.num_rows == 0:
+            return
+        for dst, sums in _key_partials(tbl):
+            bounds = np.concatenate(
+                ([0], np.searchsorted(dst, cuts), [len(dst)])
+            )
+            qs, ds, vs = [], [], []
+            for q in range(P):
+                a, b = int(bounds[q]), int(bounds[q + 1])
+                if a == b:
+                    continue
+                qs.append(q)
+                ds.append(
+                    np.asarray(dst[a:b]).astype(id_np, copy=False).tobytes()
+                )
+                vs.append(sums[a:b].astype(val_np, copy=False).tobytes())
+            if qs:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qs, type=pa.int32()),
+                        pa.array(ds, type=pa.binary()),
+                        pa.array(vs, type=pa.binary()),
+                    ],
+                    names=["qkey", "dst", "val"],
+                )
+
+    def combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        got = list(batches)
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        if tbl.num_rows == 0:
+            return
+        qk = tbl.column("qkey").to_numpy()
+        dcol = tbl.column("dst").to_pylist()
+        vcol = tbl.column("val").to_pylist()
+        for q in np.unique(qk):
+            rows = np.flatnonzero(qk == q)
+            d_all = np.concatenate(
+                [np.frombuffer(dcol[i], dtype=id_np) for i in rows]
+            ).astype(np.int64, copy=False)
+            v_all = np.concatenate(
+                [np.frombuffer(vcol[i], dtype=val_np) for i in rows]
+            )
+            qlo = lo_id + int(q) * qwidth
+            size = min(qwidth, span - int(q) * qwidth)
+            if size <= _BLOB_DENSE_MAX:
+                # dense combine — dictionary-encoded ids make ranges
+                # compact, so this is the hot path (one C pass per blob set)
+                off = d_all - qlo
+                cnt = np.bincount(off, minlength=size)
+                acc = np.bincount(off, weights=v_all, minlength=size)
+                nz = np.flatnonzero(cnt)
+                out_ids, out_vals = nz + qlo, acc[nz]
+            else:
+                # sparse/exotic id range: sort-based combine
+                order = np.argsort(d_all, kind="stable")
+                ds, vs = d_all[order], v_all[order]
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(ds)) + 1)
+                )
+                out_ids = ds[starts]
+                out_vals = np.add.reduceat(vs.astype(np.float64), starts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.int64()),
+                    pa.array(out_vals.astype(np.float64), type=pa.float64()),
+                ],
+                names=["vertex_id", "_c"],
+            )
+
     rank_col = (
         F.col("rank").cast("float") if dtype == "float32" else F.col("rank")
     )
+    keyed_state = state.select(
+        F.pmod(F.hash("vertex_id"), F.lit(P)).cast("int").alias("pkey"),
+        "vertex_id",
+        rank_col.alias("rank"),
+    )
+    if blob:
+        blobs = keyed_state.mapInArrow(
+            gen_blob, schema="qkey int, dst binary, val binary"
+        )
+        # ≤ P rows per bucket task enter this exchange — the partial
+        # payload moves as a few thousand packed cells, not as
+        # Σ_b unique-dst(b) JVM rows. The combine output is unique per
+        # vertex_id; shuffle_hash keeps the update join from sorting the
+        # rank state (contribs side builds the hash table).
+        return (
+            blobs.repartition(P, "qkey")
+            .mapInArrow(combine, schema="vertex_id long, _c double")
+            .hint("shuffle_hash")
+        )
     schema = (
         f"vertex_id {'int' if use32 else 'long'}, "
         f"_p {'float' if f32 else 'double'}"
     )
-    partials = state.select(
-        F.pmod(F.hash("vertex_id"), F.lit(P)).cast("int").alias("pkey"),
-        "vertex_id",
-        rank_col.alias("rank"),
-    ).mapInArrow(gen, schema=schema)
+    partials = keyed_state.mapInArrow(gen, schema=schema)
     # widen BEFORE the groupBy so the agg's partitioning is on the long
     # key — the update join then reuses the exchange instead of adding one
     partials = partials.select(

@@ -183,6 +183,46 @@ def test_csr_block_float32_fixed_point(spark, big_edges_df):
     assert r32.iterations == r64.iterations
 
 
+def test_blob_partials_kernel_equality(spark):
+    """V5 blob partial aggregation (BENCH/BASELINE.md §5): the csr_block
+    kernel with partials="blob" (packed per-dst-range binary cells +
+    dense bincount combine) must produce the same scores as the rows path
+    (JVM hash agg) — on dense dictionary-encoded ids (dense combine) AND
+    on ids far above the dense-combine cap (sort-fallback combine)."""
+    syn_edges, n = _syn_graph()
+    edges_df = spark.createDataFrame(syn_edges, "src_id long, dst_id long")
+    kw = dict(
+        eps=1e-6, dangling_mode="redistribute", kernel="csr_block",
+        num_partitions=4,
+    )
+    r_rows = pagerank(spark, edges_df, partials="rows", **kw)
+    r_blob = pagerank(spark, edges_df, partials="blob", **kw)
+    a, b = _ranks_np(r_rows, n), _ranks_np(r_blob, n)
+    assert np.abs(a - b).max() < 1e-12
+    assert r_blob.iterations == r_rows.iterations
+
+    # exotic sparse ids: per-bucket range >> _BLOB_DENSE_MAX forces the
+    # sort-based combine; scores must still agree with the rows path
+    STRIDE = 90_000_000_000
+    wide = edges_df.selectExpr(
+        f"src_id * {STRIDE} as src_id", f"dst_id * {STRIDE} as dst_id"
+    )
+    w_rows = pagerank(spark, wide, partials="rows", **kw)
+    w_blob = pagerank(spark, wide, partials="blob", **kw)
+    aw = {r["vertex_id"]: r["rank"] for r in w_rows.ranks.collect()}
+    bw = {r["vertex_id"]: r["rank"] for r in w_blob.ranks.collect()}
+    assert aw.keys() == bw.keys()
+    for k in aw:
+        assert np.isclose(aw[k], bw[k], rtol=1e-12, atol=1e-15)
+
+    # float32 mode ships float32 blob values; must reach the same fixed
+    # point as the float32 rows path within the float32 contract bound
+    f_rows = pagerank(spark, edges_df, partials="rows", dtype="float32", **kw)
+    f_blob = pagerank(spark, edges_df, partials="blob", dtype="float32", **kw)
+    af, bf = _ranks_np(f_rows, n), _ranks_np(f_blob, n)
+    assert np.abs(af - bf).max() < 1e-6
+
+
 def test_kernel_auto_selection(spark, big_edges_df, tmp_path):
     """kernel="auto" (the default): join for provably-small inputs,
     csr_block for unknown/large ones (measured crossover,

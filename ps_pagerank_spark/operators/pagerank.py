@@ -134,6 +134,17 @@ SMALL_GRAPH_STATS_BYTES = 256 << 20
 # BENCH/BASELINE.md §5 V5); below the threshold the rows path's single
 # reused exchange is already cheap and blob's extra stage is pure overhead
 PARTIALS_BLOB_MIN_EDGES = 4_000_000
+
+
+def _use_blob_partials(partials: str, kernel: str, n_edges: int) -> bool:
+    """Resolve the partials mode (BENCH/BASELINE.md §5 V5 A/B): blob at
+    scale (64M: −20%/iter), rows on tiny graphs (sf0.1: blob loses ~20%,
+    the extra Arrow stage outweighs a ~21k-row aggregation)."""
+    if kernel != "csr_block":
+        return False
+    if partials == "auto":
+        return n_edges >= PARTIALS_BLOB_MIN_EDGES
+    return partials == "blob"
 # dense np.bincount combine only when the per-bucket id range fits a
 # modest array (64M slots = 512 MB float64 worst case is too big; 1<<26
 # slots = 512 MB/8 = 64 MB accumulator); exotic sparse ids fall back to
@@ -488,13 +499,7 @@ def _pagerank_impl(
     # 3.51 vs 3.59) — so it gates on rows per partition, letting AQE
     # coalesce the tiny stages on small graphs.
     aqe_off = _loop_aqe_off(loop_aqe, kernel, n, P)
-    # blob partial aggregation (csr_block only): measured win once the
-    # partial cardinality dwarfs the state (§5 V5); tiny graphs keep the
-    # rows path, whose one reused exchange is already cheap
-    blob_partials = kernel == "csr_block" and (
-        partials == "blob"
-        or (partials == "auto" and n_edges >= PARTIALS_BLOB_MIN_EDGES)
-    )
+    blob_partials = _use_blob_partials(partials, kernel, n_edges)
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         if aqe_off:
